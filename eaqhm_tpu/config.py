@@ -1,0 +1,66 @@
+"""Configuration for the eaQHM TPU pipeline.
+
+The reference exposes its full parameter surface as keyword arguments on a
+single entry point (reference functions.py:35-37); gender presets map to SWIPE'
+pitch limits (functions.py:95-109 — note the code, not the docstring, is
+authoritative: female is [160, 300]).  Here the same surface is a frozen
+dataclass, extended with TPU-specific knobs (dtype policy, bucketing, mesh).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Gender presets, reference functions.py:95-109.
+_GENDER_LIMITS = {
+    "male": (70.0, 180.0),
+    "female": (160.0, 300.0),
+    "child": (300.0, 600.0),
+    "other": (70.0, 500.0),
+}
+
+
+def gender_pitch_limits(gender) -> Tuple[float, float]:
+    """Pitch search limits [Hz] for a gender preset or explicit tuple.
+
+    Mirrors reference functions.py:95-109: unknown strings fall back to
+    the 'other' preset [70, 500]; tuples pass through.
+    """
+    if isinstance(gender, (tuple, list)):
+        return float(gender[0]), float(gender[1])
+    return _GENDER_LIMITS.get(gender, _GENDER_LIMITS["other"])
+
+
+@dataclasses.dataclass(frozen=True)
+class EaqhmConfig:
+    """Full parameter surface (reference functions.py:35-37) + TPU knobs."""
+
+    # ---- reference-parity parameters ----
+    gender: object = "other"        # preset name or (f0min, f0max) tuple
+    step: int = 15                  # analysis grid step in samples
+    max_adaptations: int = 10       # `maxAdpt`
+    pitch_periods: int = 3          # window half-length factor (functions.py:191)
+    analysis_window: int = 32       # edge margin = analysis_window*step samples
+    full_waveform: bool = True      # model the entire signal (functions.py:140-146)
+    fc: float = 0.0                 # optional elliptic high-pass cutoff [Hz]
+    partials: int = 0               # manual Kmax override (<=0: derived)
+
+    # ---- numerics / TPU knobs ----
+    dtype: str = "float64"          # track/solve dtype: "float32" | "float64"
+    solve_dtype: Optional[str] = None  # override for LS solve; None -> dtype
+    # replicate reference quirks needed for bit-comparable SRER (SURVEY §2.5)
+    replicate_quirks: bool = True
+
+    @property
+    def pitch_limits(self) -> Tuple[float, float]:
+        return gender_pitch_limits(self.gender)
+
+    @property
+    def is_male(self) -> bool:
+        # VAD low-pass cutoff branch (reference functions.py:606-609) keys on
+        # the literal string 'male'; tuple genders use the non-male branch.
+        return self.gender == "male"
+
+    @property
+    def margin_samples(self) -> int:
+        return self.analysis_window * self.step
