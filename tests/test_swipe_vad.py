@@ -1,0 +1,66 @@
+"""SWIPE' and VAD vs golden reference outputs on SA19.WAV."""
+import numpy as np
+import pytest
+
+from eaqhm_tpu.models import swipe, vad
+
+
+@pytest.fixture(scope="module")
+def plan(sa19):
+    fs, s = sa19
+    return swipe.make_plan(float(fs), 160.0, 300.0, len(s))
+
+
+class TestSwipe:
+    def test_candidate_grid(self, plan, golden):
+        ref = golden["swipep_out"]
+        assert len(plan.t) == ref.shape[0]
+        np.testing.assert_allclose(plan.t, ref[:, 0], atol=1e-12)
+
+    def test_full_output_matches_reference(self, plan, sa19, golden):
+        fs, s = sa19
+        ref = golden["swipep_out"]
+        out = np.asarray(swipe.swipep(plan, s))
+        # strengths: direct numeric comparison
+        np.testing.assert_allclose(out[:, 2], ref[:, 2], rtol=1e-6, atol=1e-9)
+        # pitch: identical up to fine-tune grid quantization; require exact
+        # candidate/grid decisions for the overwhelming majority and tiny
+        # relative error everywhere
+        rel = np.abs(out[:, 1] - ref[:, 1]) / ref[:, 1]
+        assert np.median(rel) < 1e-12
+        assert (rel > 1e-3).mean() < 0.005, rel.max()
+
+    def test_pitch_within_limits(self, plan, sa19):
+        fs, s = sa19
+        out = np.asarray(swipe.swipep(plan, s))
+        # fine-tune can land one fine-grid step outside the coarse range
+        assert out[:, 1].min() > 160 / 2 ** (3 / 96)
+        assert out[:, 1].max() < 300 * 2 ** (3 / 96)
+
+
+class TestVad:
+    def test_flags_match_golden(self, sa19, golden):
+        fs, s = sa19
+        ti, sp, vo, fstep = vad.voiced_unvoiced_frames(s, fs, is_male=False)
+        assert fstep == int(golden["vad_frame_step"])
+        np.testing.assert_array_equal(ti, golden["vad_ti"])
+        sp = np.asarray(sp)
+        vo = np.asarray(vo)
+        # the 30 Hz high-pass is arithmetic-order sensitive (see test_ops);
+        # allow a tiny number of threshold-straddling flag flips
+        sp_flips = (sp != golden["vad_isSpeech"]).sum()
+        vo_flips = (vo != golden["vad_isVoiced"]).sum()
+        assert sp_flips <= 2, sp_flips
+        assert vo_flips <= 2, vo_flips
+
+    def test_full_waveform_fixup_all_voiced(self, sa19, golden):
+        import jax.numpy as jnp
+        fs, s = sa19
+        ti = golden["vad_ti"]
+        sp = jnp.asarray(golden["vad_isSpeech"])
+        vo = jnp.asarray(golden["vad_isVoiced"])
+        margin = 32 * 15
+        sp2, vo2 = vad.full_waveform_fixup(jnp.asarray(ti), sp, vo,
+                                           margin, len(s))
+        inside = (ti > margin / 2) & (ti < len(s) - margin / 2)
+        assert bool(np.all(np.asarray(vo2)[inside]))
