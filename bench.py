@@ -1,0 +1,64 @@
+"""Benchmark: full eaQHM analysis+synthesis pipeline on SA19.WAV.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio-s/s", "vs_baseline": N}
+
+Baseline: the reference implementation measured end-to-end in this container
+(BASELINE.md): 221.07 s for 3.968 s of audio = 0.01795 audio-seconds/second
+on one CPU core, SRER converging to 25.4974 dB.  The benchmark reports
+audio-seconds processed per wall-second at matched SRER (full adaptation
+loop to convergence, default female config).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_S_PER_S = 0.01795  # reference, 1 CPU core (BASELINE.md)
+REF_FINAL_SRER = 25.497403658214047
+
+
+def main():
+    import jax
+    from eaqhm_tpu.config import EaqhmConfig
+    from eaqhm_tpu.models import engine
+    from eaqhm_tpu.utils.io import read_wav
+
+    fs, s = read_wav("/root/reference/SA19.WAV")
+    audio_seconds = len(s) / fs
+    cfg = EaqhmConfig(gender="female")
+
+    # warmup: triggers all compiles (cached afterwards)
+    t0 = time.time()
+    res = engine.analyze(s, fs, cfg)
+    warm = time.time() - t0
+    print(f"warmup: {warm:.1f}s srer={max(res.srer):.6f}", file=sys.stderr)
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        res = engine.analyze(s, fs, cfg)
+        times.append(time.time() - t0)
+    elapsed = min(times)
+    value = audio_seconds / elapsed
+    final_srer = float(max(res.srer))
+
+    print(json.dumps({
+        "metric": "sa19_audio_seconds_per_second_at_matched_srer",
+        "value": round(value, 4),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
+        "elapsed_s": round(elapsed, 3),
+        "audio_seconds": audio_seconds,
+        "final_srer_db": round(final_srer, 6),
+        "ref_final_srer_db": REF_FINAL_SRER,
+        "srer_delta_db": round(final_srer - REF_FINAL_SRER, 6),
+        "backend": jax.default_backend(),
+        "n_adaptations": len(res.srer),
+        "timings": {k: round(v, 3) for k, v in res.timings.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,10 @@ class EaqhmConfig:
     partials: int = 0               # manual Kmax override (<=0: derived)
 
     # ---- numerics / TPU knobs ----
-    dtype: str = "float64"          # track/solve dtype: "float32" | "float64"
+    # "auto": float64 when x64 is enabled (CPU parity tests), else float32
+    # (TPU path; measured SRER delta vs the f64 reference <= 0.04 dB per
+    # adaptation on SA19, final SRER delta 6e-4 dB)
+    dtype: str = "auto"             # "auto" | "float32" | "float64"
     solve_dtype: Optional[str] = None  # override for LS solve; None -> dtype
     # replicate reference quirks needed for bit-comparable SRER (SURVEY §2.5)
     replicate_quirks: bool = True

@@ -1,13 +1,447 @@
-"""eaQHM engine: adaptation loop + public entry point (stub, filled in below).
+"""eaQHM engine: per-adaptation analysis/synthesis + host-side adaptation loop.
 
 Reference parity target: functions.py:35-418 `eaQHMAnalysisAndSynthesis`.
+Design (SURVEY.md §7): arrays over structs — dense [length, K] track arrays
+with boolean masks replace per-frame Python loops; each adaptation is jitted
+work (batched LS solves + acceptance + track interpolation + synthesis); the
+<=11-iteration adaptation loop and its keep-previous-on-decline convergence
+rule (functions.py:394-402) stay host-side.
 """
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
 
-def analyze(*args, **kwargs):
-    raise NotImplementedError("engine under construction")
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eaqhm_tpu.config import EaqhmConfig
+from eaqhm_tpu.ops import filters, interp
+from eaqhm_tpu.ops.solver import iqhm_batch, eaqhm_batch
+from eaqhm_tpu.models import swipe as swipe_mod
+from eaqhm_tpu.models import vad as vad_mod
+from eaqhm_tpu.models.tracks import interpolate_tracks
+from eaqhm_tpu.utils import io as io_mod
+
+DEAD_TRACK_F0 = 140.0    # reference functions.py:209
+DEAD_TRACK_AM = 1e-3     # reference functions.py:210 (10e-4)
 
 
-def eaqhm_analysis_and_synthesis(*args, **kwargs):
-    raise NotImplementedError("engine under construction")
+def resample_f0_grid(f0s, tq, dtype=jnp.float64):
+    """Linear row resampler == reference `getLinear` (functions.py:644-681).
+
+    f0s: [T, C] rows with col 0 = time; tq: [Q] query times (must not exceed
+    the last row time; the reference would raise / index out of bounds).
+    Returns [Q, C] with col 0 = tq.
+    """
+    f0s = jnp.asarray(f0s, dtype)
+    tq = jnp.asarray(tq, dtype)
+    times = f0s[:, 0]
+    T = f0s.shape[0]
+    previ = jnp.searchsorted(times, tq, side="right") - 1
+    below = previ < 0
+    pc = jnp.clip(previ, 0, T - 1)
+    nx = jnp.clip(pc + 1, 0, T - 1)
+    denom = times[nx] - times[pc]
+    g = jnp.where(denom != 0, (tq - times[pc]) / jnp.where(denom != 0, denom,
+                                                           1.0), 0.0)
+    g = jnp.where(below | (times[pc] == tq), 0.0, g)
+    rows = f0s[pc, 1:] * (1 - g[:, None]) + f0s[nx, 1:] * g[:, None]
+    rows = jnp.where(below[:, None], f0s[0, 1:], rows)
+    return jnp.concatenate([tq[:, None], rows], axis=1)
+
+
+@dataclass
+class FramePlan:
+    """Static per-utterance frame geometry (host)."""
+    length: int
+    n_ti: int
+    centers: np.ndarray       # [No] 0-based window centers (ti - 1)
+    voiced: np.ndarray        # [No] analyzed-frame mask
+    W: int                    # static window half-width bound
+    Kc: int                   # static harmonic bound (max per-frame K)
+    Kmax: int                 # reference Kmax (reported)
+    chunk: int = 128
+
+
+@dataclass
+class EaqhmResult:
+    s_recon: np.ndarray
+    srer: List[float]
+    # dense per-instant deterministic components (reference DetComponents,
+    # structs.py:7-22, packaged as arrays)
+    det_ti: np.ndarray
+    det_is_speech: np.ndarray
+    det_is_voiced: np.ndarray
+    det_a0: np.ndarray
+    det_ak: np.ndarray
+    det_frange: np.ndarray
+    det_pk: np.ndarray
+    elapsed: float = 0.0
+    f0_grid: Optional[np.ndarray] = None
+    timings: dict = field(default_factory=dict)
+
+
+def _pad_chunks(arrs, chunk):
+    n = arrs[0].shape[0]
+    npad = (-n) % chunk
+    out = []
+    for a in arrs:
+        pad = [(0, npad)] + [(0, 0)] * (a.ndim - 1)
+        out.append(jnp.pad(a, pad).reshape((n + npad) // chunk, chunk,
+                                           *a.shape[1:]))
+    return out, n
+
+
+@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk"))
+def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
+                chunk: int):
+    """Adaptation-0 analysis: batched stationary fits + acceptance.
+
+    Returns per-frame (a0_val, am, fm, ph, acc) on the frame grid
+    ([No], [No, Kc] ...).  Reference functions.py:183-324 (a == 0 branch).
+    """
+    dtype = s.dtype
+    o = jnp.arange(-W, W + 1)
+
+    (c_ch, f0_ch, K_ch, wl_ch), No = _pad_chunks(
+        [jnp.asarray(centers), f0, K, jnp.maximum(wl, 1)], chunk)
+
+    def do_chunk(args):
+        c, f0c, Kc_, wlc = args
+        s_win = s[jnp.clip(c[:, None] + o[None, :], 0, s.shape[0] - 1)]
+        return iqhm_batch(s_win, o, wlc, f0c, Kc_, fs, Kc, dtype=dtype)
+
+    amps, slopes = jax.lax.map(do_chunk, (c_ch, f0_ch, K_ch, wl_ch))
+    amps = amps.reshape(-1, 2 * Kc + 1)[:No]
+    a0_val = jnp.real(amps[:, Kc])
+    pos = amps[:, Kc + 1:]                                  # [No, Kc]
+    absp = jnp.abs(pos)
+    logamp = jnp.where(absp > 0,
+                       20.0 * jnp.log10(jnp.where(absp > 0, absp, 1.0)),
+                       -jnp.inf)
+    maxlog = jnp.max(logamp, axis=1, keepdims=True)
+    acc = voiced[:, None] & (logamp > maxlog - 150.0)       # fmismatch == 0
+    k1 = jnp.arange(1, Kc + 1)[None, :].astype(dtype)
+    fm = k1 * f0[:, None]
+    am = jnp.abs(pos)
+    ph = jnp.angle(pos)
+    return a0_val, am, fm, ph, acc
+
+
+@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk"))
+def _eaqhm_stage(s, fm_current, am_current, centers, wl, voiced,
+                 h, do_update, W: int, Kc: int, fs: float, chunk: int):
+    """Adaptation >=1 analysis: batched non-stationary fits + acceptance.
+
+    Reference functions.py:198-324 (a > 0 branch), including the dead-track
+    bootstrap (fm=140 Hz, am=1e-3, functions.py:204-210) with its
+    left-visibility semantics: the reference writes the bootstrap values
+    into fm_current *as frames are processed left-to-right*, so a frame's
+    window sees bootstrap centers only strictly left of its own center.
+    """
+    dtype = s.dtype
+    L = s.shape[0]
+    o = jnp.arange(-W, W + 1)
+    centers = jnp.asarray(centers)
+
+    fmc = fm_current[centers]                                # [No, Kc]
+    mask_k = (fmc != 0) & voiced[:, None]
+    dead = voiced & ~jnp.any(mask_k, axis=1)
+    mask_k = jnp.where(dead[:, None], jnp.arange(Kc)[None, :] == 0, mask_k)
+
+    dead_center = jnp.zeros(L, bool).at[centers].set(dead)
+
+    (c_ch, wl_ch, dead_ch, mk_ch), No = _pad_chunks(
+        [centers, jnp.maximum(wl, 1), dead, mask_k], chunk)
+
+    def do_chunk(args):
+        c, wlc, dd, mk = args
+        rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
+        s_win = s[rows]
+        fm_win = fm_current[rows]                            # [B, N, Kc]
+        am_win = am_current[rows]
+        use = dead_center[rows] & ((o[None, :] < 0)
+                                   | ((o[None, :] == 0) & dd[:, None]))
+        k0 = (jnp.arange(Kc) == 0)[None, None, :]
+        fm_win = jnp.where(use[..., None] & k0, DEAD_TRACK_F0, fm_win)
+        am_win = jnp.where(use[..., None] & k0, DEAD_TRACK_AM, am_win)
+        return eaqhm_batch(s_win, fm_win, am_win, o, wlc, mk, fs, dtype=dtype)
+
+    amps, slopes, fmis = jax.lax.map(do_chunk, (c_ch, wl_ch, dead_ch, mk_ch))
+    amps = amps.reshape(-1, 2 * Kc + 1)[:No]
+    fmis = fmis.reshape(-1, Kc)[:No]
+    a0_val = jnp.real(amps[:, Kc])
+    pos = amps[:, Kc + 1:]
+    absp = jnp.abs(pos)
+    logamp = jnp.where(absp > 0,
+                       20.0 * jnp.log10(jnp.where(absp > 0, absp, 1.0)),
+                       -jnp.inf)
+    maxlog = jnp.max(logamp, axis=1, keepdims=True)
+    acc = voiced[:, None] & (logamp > maxlog - 150.0) & (jnp.abs(fmis) < h)
+    fmc_eff = jnp.where(dead[:, None] & (jnp.arange(Kc)[None, :] == 0),
+                        DEAD_TRACK_F0, fmc)
+    fm = jnp.where(do_update, fmc_eff + fmis, fmc_eff)
+    am = jnp.abs(pos)
+    ph = jnp.angle(pos)
+    return a0_val, am, fm, ph, acc
+
+
+_PITCH_JIT_CACHE = {}
+
+
+def _pitch_fn(plan, grid_step: int, length: int):
+    """One fused jit: SWIPE' + 5 ms f0-grid resample (minimizes dispatches;
+    each device call costs ~30 ms through the remote tunnel)."""
+    key = (id(plan), grid_step, length)
+    if key not in _PITCH_JIT_CACHE:
+        t_grid = np.arange(0, length - 1, grid_step) / plan.fs
+
+        @jax.jit
+        def fn(x):
+            f0s = swipe_mod.swipep(plan, x, dtype=x.dtype)
+            grid = resample_f0_grid(f0s, jnp.asarray(t_grid, x.dtype),
+                                    dtype=x.dtype)
+            return f0s, grid
+        _PITCH_JIT_CACHE[key] = fn
+    return _PITCH_JIT_CACHE[key]
+
+
+@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk", "length", "step"))
+def _adapt0_full(s, centers, f0, K, wl, voiced, det, std_det,
+                 W: int, Kc: int, fs: float, chunk: int, length: int,
+                 step: int):
+    """Whole adaptation 0 as ONE device dispatch: analysis + tracks +
+    synthesis + SRER."""
+    a0_v, am_v, fm_v, ph_v, acc_v = _iqhm_stage(
+        s, centers, f0, K, wl, voiced, W=W, Kc=Kc, fs=fs, chunk=chunk)
+    a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
+        a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
+    srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
+    return a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer
+
+
+@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk", "length", "step"))
+def _adapt_full(s, fm_current, am_current, centers, wl, voiced, h, do_update,
+                det, std_det, W: int, Kc: int, fs: float, chunk: int,
+                length: int, step: int):
+    """Whole adaptation >=1 as ONE device dispatch."""
+    a0_v, am_v, fm_v, ph_v, acc_v = _eaqhm_stage(
+        s, fm_current, am_current, centers, wl, voiced, h, do_update,
+        W=W, Kc=Kc, fs=fs, chunk=chunk)
+    a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
+        a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
+    srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
+    return a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer
+
+
+@partial(jax.jit, static_argnames=("length", "step", "fs"))
+def _scatter_and_interp(a0_val, am, fm, ph, acc, centers, length: int,
+                        step: int, fs: float, voiced):
+    """Scatter frame results to dense tracks, interpolate, synthesize."""
+    dtype = a0_val.dtype
+    Kc = am.shape[1]
+    n_ti = centers.shape[0]
+    a0_dense = jnp.zeros(length, dtype).at[centers].set(
+        jnp.where(voiced, a0_val, 0.0))
+    am_d = jnp.zeros((length, Kc), dtype).at[centers].set(
+        jnp.where(acc, am, 0.0))
+    fm_d = jnp.zeros((length, Kc), dtype).at[centers].set(
+        jnp.where(acc, fm, 0.0))
+    ph_d = jnp.zeros((length, Kc), dtype).at[centers].set(
+        jnp.where(acc, ph, 0.0))
+
+    # DC track: not-a-knot cubic over ALL analysis instants, extrapolated
+    # (reference functions.py:340)
+    x = centers.astype(dtype)
+    yv = a0_dense[centers]
+    Mc = interp.notaknot_M(x, yv)
+    a0_interp = interp.spline_eval(x, yv, Mc, jnp.arange(length, dtype=dtype))
+
+    am_f, fm_f, ph_f, fm_cur = interpolate_tracks(
+        am_d, fm_d, ph_d, int(step), float(fs), n_ti, length)
+
+    s_rec = a0_interp + 2.0 * jnp.sum(am_f * jnp.cos(ph_f), axis=1)
+    return a0_interp, am_f, fm_f, ph_f, fm_cur, s_rec
+
+
+def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
+            verbose: bool = False) -> EaqhmResult:
+    """Full eaQHM analysis/synthesis of one utterance.
+
+    Mirrors reference `eaQHMAnalysisAndSynthesis(speechFile, ...)`
+    (functions.py:35-418) with a host-side adaptation loop around jitted
+    per-adaptation device work.
+    """
+    t_start = time.time()
+    if config.dtype == "auto":
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    else:
+        dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype='float64' requires jax_enable_x64 (use dtype='auto' or "
+            "'float32' on backends without f64)")
+    s_np = np.asarray(signal, np.float64).ravel()
+    length = int(s_np.shape[0])
+    fs = int(fs)
+    step = int(config.step)
+
+    if config.fc > 0:
+        # pre-analysis high-pass in host f64 (f32 elliptic recursions near
+        # the unit circle diverge; see vad.voiced_unvoiced_frames_host)
+        from scipy.signal import filtfilt as _filtfilt
+        b, a_, _ = filters.design_ellip(fs, config.fc, "highpass")
+        s_np = _filtfilt(b, a_, s_np)
+    s = jnp.asarray(s_np, dtype)
+
+    f0min, f0max = config.pitch_limits
+
+    # ---- pitch (SWIPE') + 5 ms f0 grid (one fused device dispatch) ----
+    plan = swipe_mod.make_plan(float(fs), float(f0min), float(f0max), length)
+    grid_step = int(round(fs * 5 / 1000))
+    f0s, f0_grid = _pitch_fn(plan, grid_step, length)(s)
+    f0_grid_np = np.asarray(f0_grid)
+
+    Fmax = int(fs / 2 - 200)
+    if config.partials > 0:
+        Kmax = int(config.partials)
+    else:
+        Kmax = int(round(Fmax / f0_grid_np[:, 1].min()) + 10)
+
+    # ---- VAD (host f64; exact reference parity) + fullWaveform fixup ----
+    vti, v_sp, v_vo, frame_step = vad_mod.voiced_unvoiced_frames_host(
+        s_np, fs, config.is_male,
+        replicate_quirks=config.replicate_quirks)
+    margin = config.margin_samples
+    if config.full_waveform:
+        v_sp, v_vo = vad_mod.full_waveform_fixup(vti, jnp.asarray(v_sp),
+                                                 jnp.asarray(v_vo), margin,
+                                                 length)
+        det = s_np
+    else:
+        mask = vad_mod.deterministic_part_mask(
+            vti, np.asarray(v_sp), np.asarray(v_vo), frame_step, length)
+        det = s_np * mask
+    v_vo_np = np.asarray(v_vo)
+    v_sp_np = np.asarray(v_sp)
+    std_det = float(np.std(det))
+    det_j = jnp.asarray(det, dtype)
+
+    # ---- frame geometry (host; static shapes for jit) ----
+    ti = np.arange(1, length, step)
+    No_ti = len(ti)
+    centers = ti - 1
+    framei = ti / frame_step
+    fi = framei.astype(int)
+    in_margin = (ti > margin) & (ti < length - margin)
+    fi_prev = np.clip(fi - 1, 0, len(v_vo_np) - 1)
+    fi_c = np.clip(fi, 0, len(v_vo_np) - 1)
+    voiced = in_margin & v_vo_np[fi_prev] & v_vo_np[fi_c]
+
+    # per-frame f0 at adaptation 0 (functions.py:183-185)
+    dec = framei - fi
+    g1 = f0_grid_np[fi_prev, 1]
+    g2 = f0_grid_np[fi_c, 1]
+    f0_frame = (1 - dec) * g1 + dec * g2
+    K_frame = np.minimum(Kmax, (Fmax / f0_frame).astype(int))
+    wl_frame = np.maximum(120, np.round(
+        (config.pitch_periods / 2) * fs / f0_frame)).astype(int)
+    wl_frame = np.where(voiced, wl_frame, 0)
+
+    voiced_idx = np.nonzero(voiced)[0]
+    if len(voiced_idx) == 0:
+        raise ValueError("no voiced frames to analyze")
+    f0_stale = float(f0_frame[voiced_idx[-1]])   # quirk #1 (SURVEY §2.5)
+
+    W = int(wl_frame.max())
+    Kc = int(K_frame[voiced].max())
+    fplan = FramePlan(length=length, n_ti=No_ti, centers=centers,
+                      voiced=voiced, W=W, Kc=Kc, Kmax=Kmax)
+
+    centers_j = jnp.asarray(centers)
+    voiced_j = jnp.asarray(voiced)
+    f0_j = jnp.asarray(f0_frame, dtype)
+    K_j = jnp.asarray(K_frame)
+    wl_j = jnp.asarray(wl_frame)
+
+    srer: List[float] = []
+    best = {}
+    fm_cur = am_cur = None
+    timings = {}
+
+    for a in range(config.max_adaptations + 1):
+        t_a = time.time()
+        if a == 0:
+            (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt0_full(
+                s, centers_j, f0_j, K_j, wl_j, voiced_j, det_j,
+                jnp.asarray(std_det, dtype),
+                W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
+                step=step)
+        else:
+            h = f0_stale / (a + 1)
+            (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt_full(
+                s, fm_cur, am_cur, centers_j, wl_j, voiced_j,
+                jnp.asarray(h, dtype), bool(f0_stale > f0min), det_j,
+                jnp.asarray(std_det, dtype),
+                W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
+                step=step)
+        am_cur = am_f
+
+        cur = float(srer_d)
+        srer.append(cur)
+        timings[f"adaptation_{a}"] = time.time() - t_a
+        if verbose:
+            print(f"SRER: {cur} dB in Adaptation No: {a}")
+        if a != 0 and srer[a] <= srer[a - 1]:
+            break
+        best = dict(s_recon=s_rec, a0=a0_i, am=am_f, fm=fm_f, ph=ph_f)
+
+    # ---- package DetComponents (reference functions.py:404-411) ----
+    am_fin = np.asarray(best["am"])[centers]
+    fm_fin = np.asarray(best["fm"])[centers]
+    ph_fin = np.asarray(best["ph"])[centers]
+    a0_fin = np.asarray(best["a0"])[centers]
+    nz = am_fin != 0
+    result = EaqhmResult(
+        s_recon=np.asarray(best["s_recon"]),
+        srer=srer,
+        det_ti=centers,
+        # reference marks every in-margin instant isSpeech=True
+        # (functions.py:325-329)
+        det_is_speech=in_margin,
+        det_is_voiced=voiced,
+        det_a0=np.where(voiced, a0_fin, 0.0),
+        det_ak=np.where(nz & voiced[:, None], am_fin, 0.0),
+        det_frange=np.where(nz & voiced[:, None], fm_fin, 0.0),
+        det_pk=np.where(nz & voiced[:, None], ph_fin, 0.0),
+        elapsed=time.time() - t_start,
+        f0_grid=f0_grid_np,
+        timings=timings,
+    )
+    return result
+
+
+def eaqhm_analysis_and_synthesis(speech_file: str, gender="other",
+                                 step: int = 15, max_adpt: int = 10,
+                                 pitch_periods: int = 3,
+                                 analysis_window: int = 32,
+                                 full_waveform: bool = True, fc: float = 0,
+                                 partials: int = 0, print_prompts: bool = True,
+                                 **kw):
+    """Reference-signature entry point (functions.py:35-37).
+
+    Returns (s_recon, SRER, result, elapsed) — `result` carries the dense
+    DetComponents arrays.
+    """
+    fs, s = io_mod.read_wav(speech_file)
+    cfg = EaqhmConfig(gender=gender, step=step, max_adaptations=max_adpt,
+                      pitch_periods=pitch_periods,
+                      analysis_window=analysis_window,
+                      full_waveform=full_waveform, fc=fc, partials=partials,
+                      **kw)
+    res = analyze(s, fs, cfg, verbose=print_prompts)
+    return res.s_recon, res.srer, res, res.elapsed

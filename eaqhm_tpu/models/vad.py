@@ -54,12 +54,70 @@ def reference_flag_smooth(flags, p: int = 5):
     return count >= (p - 1) // 2
 
 
+def voiced_unvoiced_frames_host(s, fs: int, is_male: bool,
+                                replicate_quirks: bool = True):
+    """Host (numpy float64) VAD — the production path.
+
+    The 30 Hz elliptic high-pass has poles at radius 0.99939: its recursion
+    *diverges in float32* (measured NaN on TPU), and even in f64 the output
+    is arithmetic-order sensitive (see tests/test_ops.py).  VAD is
+    I/O-adjacent per-utterance preprocessing (microseconds of work), so the
+    production engine runs it host-side in f64 with scipy's filtfilt —
+    which also gives bit-exact flag parity with the reference.  The JAX
+    implementation below remains for device-resident corpus pipelines.
+    """
+    from scipy.signal import filtfilt as _filtfilt
+    s = np.asarray(s, np.float64).ravel()
+    length = len(s)
+    b, a, _ = filters.design_ellip(fs, 30, "highpass")
+    sf = _filtfilt(b, a, s)
+    b, a, _ = filters.design_ellip(fs, 1000 if is_male else 1500, "lowpass")
+    sm = _filtfilt(b, a, sf)
+
+    window_len = int(round(0.03 * fs))
+    if window_len % 2 == 0:
+        window_len += 1
+    step = int(round(0.005 * fs))
+    midlen = (window_len - 1) // 2
+    wr = np.arange(-midlen - 1, midlen)
+    ti = np.arange(1, length, step)
+    valid = (ti > midlen) & (ti < length - midlen)
+    idx = np.clip(ti[:, None] + wr[None, :], 0, length - 1)
+
+    def db(x):
+        w = x[idx]
+        sd = w.std(axis=-1)
+        with np.errstate(divide="ignore"):
+            return np.where(valid, 20.0 * np.log10(sd), -np.inf)
+
+    sp_en = db(sf)
+    sm_en = db(sm)
+    is_speech = valid & (sp_en > -60.0)
+    with np.errstate(invalid="ignore"):
+        is_voiced = is_speech & ((sp_en - sm_en) < 10.0) & (sm_en > -50.0)
+
+    if replicate_quirks:
+        is_speech = np.asarray(reference_flag_smooth(is_speech, 5))
+        is_voiced = np.asarray(reference_flag_smooth(is_voiced, 5))
+    else:
+        from scipy.ndimage import median_filter
+        is_speech = median_filter(is_speech.astype(float), size=5,
+                                  mode="nearest") > 0.5
+        is_voiced = median_filter(is_voiced.astype(float), size=5,
+                                  mode="nearest") > 0.5
+    return ti, is_speech, is_voiced, int(ti[1] - ti[0])
+
+
 def voiced_unvoiced_frames(s, fs: int, is_male: bool, dtype=jnp.float64,
                            replicate_quirks: bool = True):
-    """Returns (ti [No], is_speech [No], is_voiced [No], frame_step).
+    """Device (JAX) VAD for device-resident pipelines.
 
+    Returns (ti [No], is_speech [No], is_voiced [No], frame_step).
     ti are 1-based sample instants (reference keeps MATLAB-style 1-based
     frame instants; the engine subtracts 1 where it indexes).
+    NOTE: requires f64 for the 30 Hz high-pass (see
+    voiced_unvoiced_frames_host) — use the host path when f64 is
+    unavailable.
     """
     s = jnp.asarray(s, dtype)
     length = s.shape[-1]

@@ -1,0 +1,191 @@
+"""Batched windowed complex least-squares solvers — the hot path.
+
+The reference fits, per voiced frame, a quasi-harmonic model by windowed
+normal equations ``R = (WE)^H (WE)``, ``x = R^{-1} (WE)^H (W s)`` with
+basis ``E = [e^{j phi_k(t)}, t e^{j phi_k(t)}]`` (reference
+functions.py:420-470 `iqhmLS_complexamps`, functions.py:472-535
+`eaqhmLS_complexamps`), one ~(2(2K+1))^2 complex solve per frame in Python.
+Here *all* frames solve at once: windows are padded to a static half-width W
+(rows outside a frame's actual +-wl get window weight 0, which reproduces the
+reference R exactly), harmonic columns are padded to a static Kc with masked
+columns replaced by identity rows (block-diagonal: the live solution is
+unchanged), and the batch maps onto the MXU as two einsum contractions plus a
+batched Cholesky/LU solve.
+
+Shapes: B frames, N = 2W+1 window rows, Kc max harmonic, M = 2(2Kc+1) columns.
+Column slot j: j < Kc -> harmonic -(Kc-j); j == Kc -> DC; j > Kc -> +(j-Kc);
+slots Kc2..2Kc2 are the slope (t*E) block, same order (Kc2 = 2Kc+1).
+
+eaQHM quirks replicated (SURVEY.md §2.5): the negative-frequency columns are
+built from *time-reversed* negated tracks (the reference's ``-flipud(fm)`` at
+functions.py:284 flips the time axis); column permutation within the negative
+block does not affect the consumed (DC/positive) solution entries and is not
+reproduced.  Amplitude normalization eps = 10e-5 = 1e-4 (functions.py:517).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def blackman_window(o, wl):
+    """np.blackman(2*wl+1) sampled at centered offsets o, 0 outside +-wl."""
+    r = o / wl
+    w = 0.42 + 0.5 * jnp.cos(jnp.pi * r) + 0.08 * jnp.cos(2 * jnp.pi * r)
+    return jnp.where(jnp.abs(o) <= wl, w, 0.0)
+
+
+def hamming_window(o, wl):
+    """np.hamming(2*wl+1) sampled at centered offsets o, 0 outside +-wl."""
+    w = 0.54 + 0.46 * jnp.cos(jnp.pi * o / wl)
+    return jnp.where(jnp.abs(o) <= wl, w, 0.0)
+
+
+def _solve_ls(E, w, s_win, colmask, rdtype):
+    """Common normal-equation solve.
+
+    E: [B, N, M] complex basis (already column-masked);
+    w: [B, N] window; s_win: [B, N]; colmask: [B, M] bool.
+    Returns x: [B, M] complex.
+    """
+    Ew = E * w[..., None].astype(E.dtype)
+    R = jnp.einsum("bnm,bnp->bmp", jnp.conj(Ew), Ew)
+    # identity rows for padded columns keep R nonsingular without touching
+    # the live block (masked columns are exactly zero)
+    eye = jnp.eye(R.shape[-1], dtype=R.dtype)
+    R = R + eye * (~colmask[:, None, :])
+    rhs = jnp.einsum("bnm,bn->bm", jnp.conj(Ew), (w * s_win).astype(E.dtype))
+    x = jnp.linalg.solve(R, rhs[..., None])[..., 0]
+    return x
+
+
+def iqhm_batch(s_win, o, wl, f0, K, fs, Kc, dtype=jnp.float64):
+    """Batched stationary fit (reference functions.py:420-470).
+
+    s_win: [B, N] signal windows centered on each frame;
+    o: [N] centered offsets (-W..W); wl: [B] half-widths; f0: [B];
+    K: [B] per-frame harmonic count; Kc: static max harmonic.
+
+    Returns (amps, slopes): [B, 2Kc+1] complex, slot layout as module doc.
+    """
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    B, N = s_win.shape
+    k = jnp.arange(-Kc, Kc + 1)                                  # [Kc2]
+    colmask1 = jnp.abs(k)[None, :] <= K[:, None]                 # [B, Kc2]
+    phase = (2 * jnp.pi / fs) * o[None, :, None] * (k[None, None, :]
+                                                    * f0[:, None, None])
+    E1 = jnp.exp(1j * phase.astype(dtype)).astype(cdtype)
+    E1 = E1 * colmask1[:, None, :]
+    E = jnp.concatenate([E1, o[None, :, None].astype(cdtype) * E1], axis=-1)
+    w = blackman_window(o[None, :].astype(dtype), wl[:, None].astype(dtype))
+    colmask = jnp.concatenate([colmask1, colmask1], axis=-1)
+    x = _solve_ls(E, w, s_win.astype(dtype), colmask, dtype)
+    Kc2 = 2 * Kc + 1
+    return x[:, :Kc2], x[:, Kc2:]
+
+
+def repair_tracks(fm_win, am_win, o, wl):
+    """Zero-gap repair of gathered track windows (functions.py:217-278).
+
+    For each (frame, harmonic): inside the frame's actual window (+-wl),
+    zeros of fm are filled by linear interpolation between the surrounding
+    nonzeros (constant extension at the edges); am is repaired at fm's zero
+    positions.  Outside +-wl both are set to 0.
+
+    fm_win, am_win: [B, N, K]; o: [N]; wl: [B].  Returns repaired pair.
+    """
+    B, N, K = fm_win.shape
+    inwin = (jnp.abs(o)[None, :, None] <= wl[:, None, None])     # [B, N, 1]
+    nz = inwin & (fm_win != 0)
+    idx = jnp.arange(N)[None, :, None]
+    prev = jax.lax.cummax(jnp.where(nz, idx, -1), axis=1)
+    nxt = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(nz, idx, N), axis=1), axis=1), axis=1)
+    has_prev = prev >= 0
+    has_next = nxt < N
+    prev_c = jnp.clip(prev, 0, N - 1)
+    nxt_c = jnp.clip(nxt, 0, N - 1)
+
+    def fill(x):
+        xp = jnp.take_along_axis(x, prev_c, axis=1)
+        xn = jnp.take_along_axis(x, nxt_c, axis=1)
+        denom = (nxt_c - prev_c).astype(x.dtype)
+        g = jnp.where(denom != 0, (idx - prev_c) / jnp.where(denom != 0,
+                                                             denom, 1.0), 0.0)
+        interp = xp + (xn - xp) * g
+        out = jnp.where(nz, x,
+                        jnp.where(has_prev & has_next, interp,
+                                  jnp.where(has_prev, xp,
+                                            jnp.where(has_next, xn, 0.0))))
+        return jnp.where(inwin, out, 0.0)
+
+    return fill(fm_win), fill(am_win)
+
+
+def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
+                dtype=jnp.float64, eps=1e-4):
+    """Batched non-stationary fit (reference functions.py:472-535).
+
+    fm_win/am_win: [B, N, Kc] instantaneous track windows (positive
+    harmonics 1..Kc at slots 0..Kc-1), already overlay-corrected; zeros are
+    repaired here.  colmask_k: [B, Kc] selected harmonics (center nonzero).
+
+    Returns (amps, slopes, fmismatch):
+      amps/slopes [B, 2Kc+1] complex in the module slot layout,
+      fmismatch [B, Kc] for the positive harmonics (functions.py:297).
+    """
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    B, N = s_win.shape
+    Kc = fm_win.shape[-1]
+    W = (N - 1) // 2
+
+    fm_r, am_r = repair_tracks(fm_win.astype(dtype), am_win.astype(dtype),
+                               o, wl)
+    fm_r = fm_r * colmask_k[:, None, :]
+    am_r = am_r * colmask_k[:, None, :]
+
+    # centered cumulative phase: psi(t) = C(t) - C(mid), C = inclusive cumsum
+    csum = jnp.cumsum(fm_r, axis=1)
+    psi = csum - csum[:, W:W + 1, :]
+    phase = (2 * jnp.pi / fs) * psi
+
+    am_mid = am_r[:, W:W + 1, :]
+    rho = (eps + am_r) / (am_mid + eps)
+
+    pos = rho * jnp.exp(1j * phase.astype(dtype)).astype(cdtype)
+    pos = pos * colmask_k[:, None, :]
+    # negative block: the reference feeds -flipud(fm) (time-reversed negated
+    # tracks) through the same inclusive cumsum, which recenters to
+    #   phase_neg(t) = (2pi/fs) * (psi(N-2-t) + fm(mid))
+    # (one-sample shift vs a naive conjugate-flip because cumsum of a
+    # reversed sequence != reversed cumsum).
+    fm_mid = fm_r[:, W:W + 1, :]
+    psi_ext = jnp.concatenate([-csum[:, W:W + 1, :],        # psi(-1) = -C(mid)
+                               psi[:, :-1, :]], axis=1)
+    neg_phase = (2 * jnp.pi / fs) * (jnp.flip(psi_ext, axis=1) + fm_mid)
+    neg = (jnp.flip(rho, axis=1)
+           * jnp.exp(1j * neg_phase.astype(dtype)).astype(cdtype))
+    neg = neg * colmask_k[:, None, :]
+    # slots -Kc..-1 ascending = harmonics Kc..1  -> flip harmonic axis
+    neg = jnp.flip(neg, axis=2)
+    dc = jnp.ones((B, N, 1), cdtype)
+    E1 = jnp.concatenate([neg, dc, pos], axis=-1)                # [B,N,Kc2]
+    E = jnp.concatenate([E1, o[None, :, None].astype(cdtype) * E1], axis=-1)
+
+    w = hamming_window(o[None, :].astype(dtype), wl[:, None].astype(dtype))
+    colmask1 = jnp.concatenate([jnp.flip(colmask_k, axis=-1),
+                                jnp.ones((B, 1), bool), colmask_k], axis=-1)
+    colmask = jnp.concatenate([colmask1, colmask1], axis=-1)
+    x = _solve_ls(E, w, s_win.astype(dtype), colmask, dtype)
+
+    Kc2 = 2 * Kc + 1
+    amps = x[:, :Kc2]
+    slopes = x[:, Kc2:]
+    a_pos = amps[:, Kc + 1:]
+    b_pos = slopes[:, Kc + 1:]
+    denom = jnp.abs(a_pos) ** 2
+    fmis = (fs / (2 * jnp.pi)) * (jnp.real(a_pos) * jnp.imag(b_pos)
+                                  - jnp.imag(a_pos) * jnp.real(b_pos))
+    fmis = jnp.where(denom > 0, fmis / jnp.where(denom > 0, denom, 1.0), 0.0)
+    fmis = fmis * colmask_k
+    return amps, slopes, fmis

@@ -140,8 +140,16 @@ print("reference run done in %.1f s, SRER=%s" % (wall, SRER))
 
 # ---- package DetComponents into dense arrays ----
 No_ti = len(Det)
+def _flat(x):
+    # reference arrayByIndex can yield dtype=object arrays whose elements are
+    # length-1 ndarrays (misc.py:84-93); flatten to float64
+    x = np.asarray(x)
+    if x.dtype == object:
+        return np.array([float(np.ravel(v)[0]) if np.size(v) else 0.0
+                         for v in x.ravel()])
+    return np.ravel(x).astype(np.float64)
 def _lens(attr):
-    return max((len(np.ravel(getattr(d, attr))) for d in Det if d.isVoiced),
+    return max((len(_flat(getattr(d, attr))) for d in Det if d.isVoiced),
                default=0)
 Kmax_seen = max(_lens("ak"), _lens("frange"), _lens("pk"))
 det_ti = np.array([d.ti if np.ndim(d.ti) == 0 else -1 for d in Det], dtype=np.int64)
@@ -154,7 +162,7 @@ det_pk = np.zeros((No_ti, Kmax_seen))
 for i, d in enumerate(Det):
     if d.isVoiced:
         det_a0[i] = np.ravel(d.a0)[0] if np.size(d.a0) else 0.0
-        ak = np.ravel(d.ak); fr = np.ravel(d.frange); pk = np.ravel(d.pk)
+        ak = _flat(d.ak); fr = _flat(d.frange); pk = _flat(d.pk)
         det_ak[i, :len(ak)] = ak
         det_fr[i, :len(fr)] = fr
         det_pk[i, :len(pk)] = pk
