@@ -216,10 +216,11 @@ def _adapt0_full(s, centers, f0, K, wl, voiced, det, std_det,
                  step: int):
     """Whole adaptation 0 as ONE device dispatch: analysis + tracks +
     synthesis + SRER."""
-    a0_v, am_v, fm_v, ph_v, acc_v = _iqhm_stage(
-        s, centers, f0, K, wl, voiced, W=W, Kc=Kc, fs=fs, chunk=chunk)
-    a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
-        a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
+    with jax.default_matmul_precision("highest"):
+        a0_v, am_v, fm_v, ph_v, acc_v = _iqhm_stage(
+            s, centers, f0, K, wl, voiced, W=W, Kc=Kc, fs=fs, chunk=chunk)
+        a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
+            a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
     srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
     return a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer
 
@@ -229,11 +230,12 @@ def _adapt_full(s, fm_current, am_current, centers, wl, voiced, h, do_update,
                 det, std_det, W: int, Kc: int, fs: float, chunk: int,
                 length: int, step: int):
     """Whole adaptation >=1 as ONE device dispatch."""
-    a0_v, am_v, fm_v, ph_v, acc_v = _eaqhm_stage(
-        s, fm_current, am_current, centers, wl, voiced, h, do_update,
-        W=W, Kc=Kc, fs=fs, chunk=chunk)
-    a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
-        a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
+    with jax.default_matmul_precision("highest"):
+        a0_v, am_v, fm_v, ph_v, acc_v = _eaqhm_stage(
+            s, fm_current, am_current, centers, wl, voiced, h, do_update,
+            W=W, Kc=Kc, fs=fs, chunk=chunk)
+        a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
+            a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
     srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
     return a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer
 

@@ -47,15 +47,27 @@ def _solve_ls(E, w, s_win, colmask, rdtype):
     E: [B, N, M] complex basis (already column-masked);
     w: [B, N] window; s_win: [B, N]; colmask: [B, M] bool.
     Returns x: [B, M] complex.
+
+    The Gram contraction runs at Precision.HIGHEST: TPU f32 matmuls default
+    to bf16-multiply passes whose error is amplified by cond(R) in the solve
+    (measured ~0.8 dB per-adaptation SRER drift at default precision).
     """
+    hp = jax.lax.Precision.HIGHEST
     Ew = E * w[..., None].astype(E.dtype)
-    R = jnp.einsum("bnm,bnp->bmp", jnp.conj(Ew), Ew)
+    R = jnp.einsum("bnm,bnp->bmp", jnp.conj(Ew), Ew, precision=hp)
     # identity rows for padded columns keep R nonsingular without touching
     # the live block (masked columns are exactly zero)
     eye = jnp.eye(R.shape[-1], dtype=R.dtype)
     R = R + eye * (~colmask[:, None, :])
-    rhs = jnp.einsum("bnm,bn->bm", jnp.conj(Ew), (w * s_win).astype(E.dtype))
-    x = jnp.linalg.solve(R, rhs[..., None])[..., 0]
+    rhs = jnp.einsum("bnm,bn->bm", jnp.conj(Ew),
+                     (w * s_win).astype(E.dtype), precision=hp)
+    # R is Hermitian positive definite (Gram + identity padding): batched
+    # Cholesky + two triangular solves (2.7x faster than LU on TPU — no
+    # pivoting; measured 388ms vs 1035ms for [4352, 238, 238] c64)
+    L = jnp.linalg.cholesky(R)
+    y = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(
+        L, y, lower=True, trans="C")[..., 0]
     return x
 
 
@@ -95,23 +107,34 @@ def repair_tracks(fm_win, am_win, o, wl):
     fm_win, am_win: [B, N, K]; o: [N]; wl: [B].  Returns repaired pair.
     """
     B, N, K = fm_win.shape
+    dtype = fm_win.dtype
     inwin = (jnp.abs(o)[None, :, None] <= wl[:, None, None])     # [B, N, 1]
     nz = inwin & (fm_win != 0)
-    idx = jnp.arange(N)[None, :, None]
-    prev = jax.lax.cummax(jnp.where(nz, idx, -1), axis=1)
-    nxt = jnp.flip(jax.lax.cummin(
-        jnp.flip(jnp.where(nz, idx, N), axis=1), axis=1), axis=1)
-    has_prev = prev >= 0
-    has_next = nxt < N
-    prev_c = jnp.clip(prev, 0, N - 1)
-    nxt_c = jnp.clip(nxt, 0, N - 1)
+    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None],
+                           fm_win.shape)
 
-    def fill(x):
-        xp = jnp.take_along_axis(x, prev_c, axis=1)
-        xn = jnp.take_along_axis(x, nxt_c, axis=1)
-        denom = (nxt_c - prev_c).astype(x.dtype)
-        g = jnp.where(denom != 0, (idx - prev_c) / jnp.where(denom != 0,
-                                                             denom, 1.0), 0.0)
+    # value-carrying associative scans replace take_along_axis gathers
+    # (measured: 4 big gathers ~4s vs 2 scans ~90ms per adaptation on TPU)
+    elems = (jnp.where(nz, idx, jnp.int32(-1)),
+             jnp.where(nz, fm_win, 0.0), jnp.where(nz, am_win, 0.0))
+
+    def op_last(l, r):
+        """keep the later element if it is valid (prefix 'last nonzero')."""
+        t = r[0] >= 0
+        return tuple(jnp.where(t, rv, lv) for lv, rv in zip(l, r))
+
+    prev_i, prev_fm, prev_am = jax.lax.associative_scan(op_last, elems, axis=1)
+    # reverse=True flips, scans, flips back with the SAME op, so op_last in
+    # flipped coordinates yields the suffix 'first nonzero'
+    nxt_i, nxt_fm, nxt_am = jax.lax.associative_scan(op_last, elems, axis=1,
+                                                     reverse=True)
+    has_prev = prev_i >= 0
+    has_next = nxt_i >= 0
+
+    def fill(x, xp, xn):
+        denom = (nxt_i - prev_i).astype(dtype)
+        ok = denom != 0
+        g = jnp.where(ok, (idx - prev_i) / jnp.where(ok, denom, 1.0), 0.0)
         interp = xp + (xn - xp) * g
         out = jnp.where(nz, x,
                         jnp.where(has_prev & has_next, interp,
@@ -119,7 +142,7 @@ def repair_tracks(fm_win, am_win, o, wl):
                                             jnp.where(has_next, xn, 0.0))))
         return jnp.where(inwin, out, 0.0)
 
-    return fill(fm_win), fill(am_win)
+    return (fill(fm_win, prev_fm, nxt_fm), fill(am_win, prev_am, nxt_am))
 
 
 def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
