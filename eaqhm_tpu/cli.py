@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -42,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", action="store_true",
                    help="print a JSON result summary")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--plots", default=None, metavar="DIR",
+                   help="write before/after spectrogram + time-domain PNGs "
+                        "(reference plotGraphs, main.py:18-42)")
+    p.add_argument("--corpus", action="store_true",
+                   help="treat INPUT as a directory of wavs: per-utterance "
+                        "error isolation + checkpoint/resume")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="corpus mode: resume state directory")
     return p
 
 
@@ -60,11 +69,30 @@ def main(argv=None) -> int:
         full_waveform=not args.no_full_waveform, fc=args.fc,
         partials=args.partials, dtype=args.dtype)
 
+    if args.corpus:
+        import glob
+        from eaqhm_tpu.parallel.corpus import run_corpus
+        paths = sorted(glob.glob(os.path.join(args.input, "*.wav"))
+                       + glob.glob(os.path.join(args.input, "*.WAV")))
+        cres = run_corpus(paths, cfg, checkpoint_dir=args.checkpoint_dir,
+                          write_wavs=args.out, verbose=not args.quiet)
+        print(json.dumps({
+            "n_done": len(cres.done), "n_failed": len(cres.failed),
+            "n_skipped": len(cres.skipped), "elapsed_s": cres.elapsed,
+            "audio_seconds_per_second": cres.audio_seconds_per_second,
+            "failed": sorted(cres.failed),
+        }))
+        return 1 if cres.failed and not cres.done else 0
+
     fs, s = io_mod.read_wav(args.input)
     res = engine.analyze(s, fs, cfg, verbose=not args.quiet)
 
     out = args.out or (args.input.rsplit(".", 1)[0] + "_reconstructed.wav")
     io_mod.write_wav(out, fs, res.s_recon)
+    if args.plots:
+        from eaqhm_tpu.utils.plots import plot_graphs
+        os.makedirs(args.plots, exist_ok=True)
+        plot_graphs(s, res.s_recon, fs, out_dir=args.plots)
 
     if args.json:
         print(json.dumps({

@@ -53,6 +53,9 @@ class EaqhmConfig:
     solve_dtype: Optional[str] = None  # override for LS solve; None -> dtype
     # replicate reference quirks needed for bit-comparable SRER (SURVEY §2.5)
     replicate_quirks: bool = True
+    # collect per-adaptation accepted-harmonic counts (adds one small
+    # device->host transfer per adaptation; off for max throughput)
+    collect_metrics: bool = False
 
     @property
     def pitch_limits(self) -> Tuple[float, float]:

