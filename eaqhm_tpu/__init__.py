@@ -17,12 +17,15 @@ EaqhmConfig                                         frozen config dataclass
 
 from eaqhm_tpu.config import EaqhmConfig, gender_pitch_limits
 from eaqhm_tpu.models.engine import eaqhm_analysis_and_synthesis, analyze
+from eaqhm_tpu.structs import Deterministic, Frame
 
 __all__ = [
     "EaqhmConfig",
     "gender_pitch_limits",
     "eaqhm_analysis_and_synthesis",
     "analyze",
+    "Deterministic",
+    "Frame",
 ]
 
 __version__ = "0.1.0"

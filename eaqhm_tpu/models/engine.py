@@ -99,7 +99,6 @@ def _pad_chunks(arrs, chunk):
     return out, n
 
 
-@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk"))
 def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
                 chunk: int):
     """Adaptation-0 analysis: batched stationary fits + acceptance.
@@ -135,28 +134,30 @@ def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
     return a0_val, am, fm, ph, acc
 
 
-@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk"))
-def _eaqhm_stage(s, fm_current, am_current, centers, wl, voiced,
-                 h, do_update, W: int, Kc: int, fs: float, chunk: int):
-    """Adaptation >=1 analysis: batched non-stationary fits + acceptance.
+def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
+                  dead_center, h, do_update, W: int, Kc: int, fs: float,
+                  chunk: int):
+    """Adaptation >=1 analysis for one frame bucket: fits + acceptance.
 
     Reference functions.py:198-324 (a > 0 branch), including the dead-track
     bootstrap (fm=140 Hz, am=1e-3, functions.py:204-210) with its
     left-visibility semantics: the reference writes the bootstrap values
     into fm_current *as frames are processed left-to-right*, so a frame's
     window sees bootstrap centers only strictly left of its own center.
+    `dead`/`mask_k`/`dead_center` are computed globally over all analyzed
+    frames by the caller (windows overlap frames in other buckets).
+    Track columns beyond this bucket's Kc are structurally zero (per-frame
+    harmonic support never exceeds the adaptation-0 K, which fixes the
+    bucket), so slicing fm/am windows to [:, :, :Kc] is exact.
     """
     dtype = s.dtype
     L = s.shape[0]
     o = jnp.arange(-W, W + 1)
     centers = jnp.asarray(centers)
 
-    fmc = fm_current[centers]                                # [No, Kc]
-    mask_k = (fmc != 0) & voiced[:, None]
-    dead = voiced & ~jnp.any(mask_k, axis=1)
-    mask_k = jnp.where(dead[:, None], jnp.arange(Kc)[None, :] == 0, mask_k)
-
-    dead_center = jnp.zeros(L, bool).at[centers].set(dead)
+    fm_k = fm_current[:, :Kc]                # slice columns before gathering
+    am_k = am_current[:, :Kc]
+    fmc = fm_k[centers]                                      # [Nb, Kc]
 
     (c_ch, wl_ch, dead_ch, mk_ch), No = _pad_chunks(
         [centers, jnp.maximum(wl, 1), dead, mask_k], chunk)
@@ -165,8 +166,8 @@ def _eaqhm_stage(s, fm_current, am_current, centers, wl, voiced,
         c, wlc, dd, mk = args
         rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
         s_win = s[rows]
-        fm_win = fm_current[rows]                            # [B, N, Kc]
-        am_win = am_current[rows]
+        fm_win = fm_k[rows]                                  # [B, N, Kc]
+        am_win = am_k[rows]
         use = dead_center[rows] & ((o[None, :] < 0)
                                    | ((o[None, :] == 0) & dd[:, None]))
         k0 = (jnp.arange(Kc) == 0)[None, None, :]
@@ -184,7 +185,7 @@ def _eaqhm_stage(s, fm_current, am_current, centers, wl, voiced,
                        20.0 * jnp.log10(jnp.where(absp > 0, absp, 1.0)),
                        -jnp.inf)
     maxlog = jnp.max(logamp, axis=1, keepdims=True)
-    acc = voiced[:, None] & (logamp > maxlog - 150.0) & (jnp.abs(fmis) < h)
+    acc = (logamp > maxlog - 150.0) & (jnp.abs(fmis) < h)
     fmc_eff = jnp.where(dead[:, None] & (jnp.arange(Kc)[None, :] == 0),
                         DEAD_TRACK_F0, fmc)
     fm = jnp.where(do_update, fmc_eff + fmis, fmc_eff)
@@ -199,7 +200,10 @@ _PITCH_JIT_CACHE = {}
 def _pitch_fn(plan, grid_step: int, length: int):
     """One fused jit: SWIPE' + 5 ms f0-grid resample (minimizes dispatches;
     each device call costs ~30 ms through the remote tunnel)."""
-    key = (id(plan), grid_step, length)
+    # key on the plan's defining parameters (id() could be reused after the
+    # make_plan lru cache evicts an entry)
+    key = (plan.fs, float(plan.pc[0]), float(plan.pc[-1]), plan.length,
+           grid_step, length)
     if key not in _PITCH_JIT_CACHE:
         t_grid = np.arange(0, length - 1, grid_step) / plan.fs
 
@@ -213,30 +217,101 @@ def _pitch_fn(plan, grid_step: int, length: int):
     return _PITCH_JIT_CACHE[key]
 
 
-@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk", "length", "step"))
-def _adapt0_full(s, centers, f0, K, wl, voiced, det, std_det,
-                 W: int, Kc: int, fs: float, chunk: int, length: int,
-                 step: int):
-    """Whole adaptation 0 as ONE device dispatch: analysis + tracks +
-    synthesis + SRER."""
+def _combine_buckets(parts, idx_list, No: int, Kcm: int, dtype):
+    """Scatter per-bucket frame results back onto the full frame grid.
+
+    parts: list of (a0_val [Nb], am/fm/ph [Nb, Kb], acc [Nb, Kb]);
+    idx_list: list of [Nb] frame indices.  Returns full-grid arrays
+    ([No], [No, Kcm] x3, acc [No, Kcm]).
+    """
+    a0 = jnp.zeros(No, dtype)
+    am = jnp.zeros((No, Kcm), dtype)
+    fm = jnp.zeros((No, Kcm), dtype)
+    ph = jnp.zeros((No, Kcm), dtype)
+    acc = jnp.zeros((No, Kcm), bool)
+
+    def padk(x, fill=0):
+        kpad = Kcm - x.shape[1]
+        return jnp.pad(x, ((0, 0), (0, kpad)), constant_values=fill)
+
+    for (a0_b, am_b, fm_b, ph_b, acc_b), idx in zip(parts, idx_list):
+        a0 = a0.at[idx].set(a0_b)
+        am = am.at[idx].set(padk(am_b))
+        fm = fm.at[idx].set(padk(fm_b))
+        ph = ph.at[idx].set(padk(ph_b))
+        acc = acc.at[idx].set(padk(acc_b, False))
+    return a0, am, fm, ph, acc
+
+
+@partial(jax.jit,
+         static_argnames=("geom", "fs", "chunk", "length", "step", "No"))
+def _adapt0_full(s, buckets, centers, det, std_det, geom, fs: float,
+                 chunk: int, length: int, step: int, No: int):
+    """Whole adaptation 0 as ONE device dispatch: bucketed analysis +
+    tracks + synthesis + SRER.
+
+    buckets: tuple of (idx, centers_b, f0_b, K_b, wl_b) arrays per bucket;
+    geom: tuple of (W_b, Kc_b) static shapes, Kcm = max Kc_b.
+    """
+    dtype = s.dtype
+    Kcm = max(k for _, k in geom)
     with jax.default_matmul_precision("highest"):
-        a0_v, am_v, fm_v, ph_v, acc_v = _iqhm_stage(
-            s, centers, f0, K, wl, voiced, W=W, Kc=Kc, fs=fs, chunk=chunk)
+        parts = []
+        for (idx, c_b, f0_b, K_b, wl_b), (Wb, Kb) in zip(buckets, geom):
+            vo_b = jnp.ones(c_b.shape[0], bool)
+            parts.append(_iqhm_stage(s, c_b, f0_b, K_b, wl_b, vo_b,
+                                     W=Wb, Kc=Kb, fs=fs, chunk=chunk))
+        a0_v, am_v, fm_v, ph_v, acc_v = _combine_buckets(
+            parts, [b[0] for b in buckets], No, Kcm, dtype)
+        voiced = jnp.zeros(No, bool)
+        for b in buckets:
+            voiced = voiced.at[b[0]].set(True)
         a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
             a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
     srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
     return a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer
 
 
-@partial(jax.jit, static_argnames=("W", "Kc", "fs", "chunk", "length", "step"))
-def _adapt_full(s, fm_current, am_current, centers, wl, voiced, h, do_update,
-                det, std_det, W: int, Kc: int, fs: float, chunk: int,
-                length: int, step: int):
-    """Whole adaptation >=1 as ONE device dispatch."""
+@partial(jax.jit,
+         static_argnames=("geom", "fs", "chunk", "length", "step", "No"))
+def _adapt_full(s, fm_current, am_current, buckets, centers, h, do_update,
+                det, std_det, geom, fs: float, chunk: int, length: int,
+                step: int, No: int):
+    """Whole adaptation >=1 as ONE device dispatch, bucketed.
+
+    The dead-track bootstrap's left-visibility overlay (functions.py:204-210)
+    is computed globally over ALL analyzed frames before the per-bucket
+    solves, so every bucket's windows see every dead frame's overlay exactly
+    as the reference's sequential in-place writes would.
+    """
+    dtype = s.dtype
+    Kcm = max(k for _, k in geom)
+    L = s.shape[0]
     with jax.default_matmul_precision("highest"):
-        a0_v, am_v, fm_v, ph_v, acc_v = _eaqhm_stage(
-            s, fm_current, am_current, centers, wl, voiced, h, do_update,
-            W=W, Kc=Kc, fs=fs, chunk=chunk)
+        # global dead/selected-harmonic masks (reference functions.py:202-210)
+        all_centers = jnp.concatenate([b[1] for b in buckets])
+        fmc_all = fm_current[all_centers]                     # [Nv, Kcm]
+        mask_all = fmc_all != 0
+        dead_all = ~jnp.any(mask_all, axis=1)
+        dead_center = jnp.zeros(L, bool).at[all_centers].set(dead_all)
+
+        parts = []
+        off = 0
+        for (idx, c_b, wl_b), (Wb, Kb) in zip(buckets, geom):
+            nb = c_b.shape[0]
+            dd_b = dead_all[off:off + nb]
+            mk_b = mask_all[off:off + nb, :Kb]
+            mk_b = jnp.where(dd_b[:, None], jnp.arange(Kb)[None, :] == 0,
+                             mk_b)
+            parts.append(_eaqhm_bucket(
+                s, fm_current, am_current, c_b, wl_b, dd_b, mk_b,
+                dead_center, h, do_update, W=Wb, Kc=Kb, fs=fs, chunk=chunk))
+            off += nb
+        a0_v, am_v, fm_v, ph_v, acc_v = _combine_buckets(
+            parts, [b[0] for b in buckets], No, Kcm, dtype)
+        voiced = jnp.zeros(No, bool)
+        for b in buckets:
+            voiced = voiced.at[b[0]].set(True)
         a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
             a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
     srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
@@ -368,11 +443,49 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     fplan = FramePlan(length=length, n_ti=No_ti, centers=centers,
                       voiced=voiced, W=W, Kc=Kc, Kmax=Kmax)
 
+    # ---- bucket voiced frames by harmonic count (solve cost ~ M^3 with
+    # M = 2(2K+1); padding every frame to the global Kc wastes ~3x flops
+    # on typical speech — SA19: 55% of frames need K<=32 vs Kc=48) ----
+    K_v = K_frame[voiced_idx]
+    wl_v = wl_frame[voiced_idx]
+    tiers = [t for t in (24, 32, 40, 48, 64, 96, 128, 192) if t < Kc]
+    tiers.append(Kc)
+    bucket_tier = np.searchsorted(tiers, K_v)
+    buckets = []
+    geom = []
+    min_bucket = max(256, len(voiced_idx) // 16)
+    pending_idx = []
+    for b in range(len(tiers)):
+        sel = bucket_tier == b
+        if not sel.any():
+            continue
+        pending_idx.append(np.nonzero(sel)[0])
+        # merge undersized buckets upward (compile cost > solve savings)
+        if sum(len(p) for p in pending_idx) < min_bucket and b < len(tiers) - 1:
+            continue
+        vsel = np.concatenate(pending_idx)
+        pending_idx = []
+        gi = voiced_idx[vsel]
+        Kb = int(K_v[vsel].max())
+        Wb = int(wl_v[vsel].max())
+        buckets.append(gi)
+        geom.append((Wb, Kb))
+
+    def bucket_args0():
+        return tuple(
+            (jnp.asarray(gi), jnp.asarray(centers[gi]),
+             jnp.asarray(f0_frame[gi], dtype), jnp.asarray(K_frame[gi]),
+             jnp.asarray(wl_frame[gi]))
+            for gi in buckets)
+
+    def bucket_args():
+        return tuple(
+            (jnp.asarray(gi), jnp.asarray(centers[gi]),
+             jnp.asarray(wl_frame[gi]))
+            for gi in buckets)
+
+    geom = tuple(geom)
     centers_j = jnp.asarray(centers)
-    voiced_j = jnp.asarray(voiced)
-    f0_j = jnp.asarray(f0_frame, dtype)
-    K_j = jnp.asarray(K_frame)
-    wl_j = jnp.asarray(wl_frame)
 
     srer: List[float] = []
     best = {}
@@ -385,18 +498,18 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         with jax.profiler.TraceAnnotation(f"eaqhm/adaptation_{a}"):
             if a == 0:
                 (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt0_full(
-                    s, centers_j, f0_j, K_j, wl_j, voiced_j, det_j,
+                    s, bucket_args0(), centers_j, det_j,
                     jnp.asarray(std_det, dtype),
-                    W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
-                    step=step)
+                    geom=geom, fs=float(fs), chunk=fplan.chunk, length=length,
+                    step=step, No=No_ti)
             else:
                 h = f0_stale / (a + 1)
                 (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt_full(
-                    s, fm_cur, am_cur, centers_j, wl_j, voiced_j,
+                    s, fm_cur, am_cur, bucket_args(), centers_j,
                     jnp.asarray(h, dtype), bool(f0_stale > f0min), det_j,
                     jnp.asarray(std_det, dtype),
-                    W=W, Kc=Kc, fs=float(fs), chunk=fplan.chunk, length=length,
-                    step=step)
+                    geom=geom, fs=float(fs), chunk=fplan.chunk, length=length,
+                    step=step, No=No_ti)
             am_cur = am_f
             cur = float(srer_d)
         srer.append(cur)

@@ -147,3 +147,24 @@ def test_engine_metrics_collection():
     for m in res.metrics:
         assert m["accepted_harmonics"] > 0
         assert np.isfinite(m["srer_db"])
+
+
+# ---------------------------------------------------------- data model shim
+
+def test_structs_from_result():
+    from eaqhm_tpu import structs
+    from eaqhm_tpu.models import engine
+    fs = 16000
+    t = np.arange(fs) / fs
+    s = 0.3 * np.sin(2 * np.pi * 200 * t) + 0.1 * np.sin(2 * np.pi * 400 * t)
+    cfg = EaqhmConfig(gender=(150.0, 250.0), max_adaptations=0)
+    res = engine.analyze(s, fs, cfg)
+    dets = structs.from_result(res)
+    assert len(dets) == len(res.det_ti)
+    voiced = [d for d in dets if d.isVoiced]
+    assert voiced and all(len(d.ak) == len(d.frange) == len(d.pk)
+                          for d in voiced)
+    assert any(len(d.ak) > 0 for d in voiced)
+    frames = structs.frames_from_result(res)
+    assert len(frames) == len(dets)
+    assert frames[0].ti == dets[0].ti

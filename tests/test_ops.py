@@ -141,3 +141,36 @@ class TestInterp:
         ours = np.asarray(interp.cubic4_eval(x4, y4, q))
         ref = interp1d(x4, y4, kind=3)(q)
         np.testing.assert_allclose(ours, ref, atol=1e-8)
+
+
+def test_hpd_block_inverse_matches_inv():
+    import jax.numpy as jnp
+    from eaqhm_tpu.ops.solver import hpd_block_inverse
+    rng = np.random.default_rng(7)
+    B, M = 8, 50
+    A = rng.normal(size=(B, M, M)) + 1j * rng.normal(size=(B, M, M))
+    R = A @ np.conj(np.swapaxes(A, -1, -2)) + 5.0 * np.eye(M)
+    Ri = np.asarray(hpd_block_inverse(jnp.asarray(R)))
+    np.testing.assert_allclose(Ri, np.linalg.inv(R), rtol=1e-8, atol=1e-10)
+
+
+def test_solve_ls_block_inverse_matches_cholesky():
+    """f32 path uses block_inverse; check it agrees with the cholesky path."""
+    import jax.numpy as jnp
+    from eaqhm_tpu.ops import solver
+    rng = np.random.default_rng(3)
+    B, N, M = 4, 61, 26
+    E = jnp.asarray(rng.normal(size=(B, N, M))
+                    + 1j * rng.normal(size=(B, N, M)))
+    w = jnp.asarray(rng.uniform(0.1, 1.0, size=(B, N)))
+    s = jnp.asarray(rng.normal(size=(B, N)))
+    colmask = jnp.ones((B, M), bool)
+    old = dict(solver.SOLVE_METHOD)
+    try:
+        solver.SOLVE_METHOD["float64"] = "cholesky"
+        x_ch = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float64))
+        solver.SOLVE_METHOD["float64"] = "block_inverse"
+        x_bi = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float64))
+    finally:
+        solver.SOLVE_METHOD.update(old)
+    np.testing.assert_allclose(x_bi, x_ch, rtol=1e-8, atol=1e-10)
