@@ -15,6 +15,25 @@ eaqhm_analysis_and_synthesis(path_or_signal, ...)   full pipeline (reference
 EaqhmConfig                                         frozen config dataclass
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: TPU compiles in this deployment go
+# through a remote tunnel (~5-60 s each); caching them on disk makes every
+# process after the first start hot.  Opt out with EAQHM_JAX_CACHE=0.
+_cache_dir = _os.environ.get(
+    "EAQHM_JAX_CACHE",
+    _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(
+        __file__))), ".jax_cache"))
+if _cache_dir and _cache_dir != "0":
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # older jax without these flags
+        pass
+
 from eaqhm_tpu.config import EaqhmConfig, gender_pitch_limits
 from eaqhm_tpu.models.engine import eaqhm_analysis_and_synthesis, analyze
 from eaqhm_tpu.structs import Deterministic, Frame

@@ -98,15 +98,30 @@ def interpolate_tracks(am_recon, fm_recon, ph_recon, step: int, fs: float,
     (am_filled, fm_filled, ph_filled, fm_current) with runs interpolated
     exactly as reference functions.py:346-381.
     """
-    dtype = am_recon.dtype
-    L, K = am_recon.shape
+    anchor_rows = np.arange(n_ti) * step
+    return interpolate_tracks_anchors(
+        am_recon[anchor_rows], fm_recon[anchor_rows], ph_recon[anchor_rows],
+        step, fs, length)
+
+
+@partial(jax.jit, static_argnames=("step", "fs", "length"))
+def interpolate_tracks_anchors(A_am, A_fm, A_ph, step: int, fs: float,
+                               length: int):
+    """Track interpolation from anchor values directly.
+
+    A_am/A_fm/A_ph: [n_ti, K] per-analysis-instant values (zero = not
+    accepted).  Anchor i sits at sample i*step; off-anchor samples of the
+    implied dense tracks are zero by construction, so the dense arrays are
+    never needed as inputs — this avoids a [n_ti,K]->[length,K] scatter
+    whose fusion into the anchor gathers costs ~80 ms/array on TPU.
+    Returns dense (am_filled, fm_filled, ph_filled, fm_current), each
+    [length, K], interpolated exactly as reference functions.py:346-381.
+    """
+    dtype = A_am.dtype
+    n_ti, K = A_am.shape
+    L = length
     n_pairs = n_ti - 1
     h = float(step)
-    anchor_rows = np.arange(n_ti) * step
-
-    A_am = am_recon[anchor_rows]                       # [n, K]
-    A_fm = fm_recon[anchor_rows]
-    A_ph = ph_recon[anchor_rows]
 
     acc = A_am != 0
     acc_prev = jnp.concatenate([jnp.zeros((1, K), bool), acc[:-1]])
@@ -166,19 +181,29 @@ def interpolate_tracks(am_recon, fm_recon, ph_recon, step: int, fs: float,
     # ---- AM linear values ----
     am_fill = (1.0 - Bc) * A_am[:-1][:, None, :] + Bc * A_am[1:][:, None, :]
 
-    # ---- assemble dense blocks [n_pairs, step, K] ----
+    # ---- assemble dense blocks [n_pairs, step, K] from anchors ----
+    # off-anchor samples of the implied dense inputs are zero, so the dense
+    # arrays are built purely by reshape/concat (no scatters)
     Lp = n_pairs * step + 1
 
-    def assemble(dense, fill):
-        prefix = dense[:Lp]
-        block = prefix[:-1].reshape(n_pairs, step, K)
-        inner = jnp.where(pair[:, None, :], fill, block[:, 1:, :])
-        block = jnp.concatenate([block[:, :1, :], inner], axis=1)
+    def assemble(anchors, fill):
+        inner = jnp.where(pair[:, None, :], fill,
+                          jnp.zeros((1, 1, 1), anchors.dtype))
+        block = jnp.concatenate([anchors[:-1][:, None, :], inner], axis=1)
         return jnp.concatenate(
-            [block.reshape(-1, K), prefix[-1:], dense[Lp:]], axis=0)
+            [block.reshape(-1, K), anchors[-1:],
+             jnp.zeros((L - Lp, K), anchors.dtype)], axis=0)
 
-    fm_out = assemble(fm_recon, fm_fill)
-    am_out = assemble(am_recon, am_fill)
+    def strided(anchors):
+        """Dense [L, K] with anchors at rows i*step, zero elsewhere."""
+        z = jnp.zeros((n_pairs, step - 1, K), anchors.dtype)
+        block = jnp.concatenate([anchors[:-1][:, None, :], z], axis=1)
+        return jnp.concatenate(
+            [block.reshape(-1, K), anchors[-1:],
+             jnp.zeros((L - Lp, K), anchors.dtype)], axis=0)
+
+    fm_out = assemble(A_fm, fm_fill)
+    am_out = assemble(A_am, am_fill)
 
     # ---- phase integration per segment (functions.py:537-575) ----
     # seg_fm[p, r, k] = fm_out[p*step + 1 + r], r = 0..step-1
@@ -200,27 +225,26 @@ def interpolate_tracks(am_recon, fm_recon, ph_recon, step: int, fs: float,
     pm_c = pm - corr                                    # phases @ r = 1..step
 
     ph_fill = pm_c[:, :step - 1, :]
-    ph_out = assemble(ph_recon, ph_fill)
-    # run-end anchors take the final segment's corrected endpoint
-    end_anchor_rows = anchor_rows[1:]
+    # run-end anchors take the final segment's corrected endpoint — applied
+    # at anchor level before assembly (anchor i >= 1 is block i's first row)
     prev_pair_end = pm_c[:, -1, :]                      # [n_pairs, K]
     take_end = pair & run_end[1:]
-    ph_out = ph_out.at[end_anchor_rows].set(
-        jnp.where(take_end, prev_pair_end, ph_out[end_anchor_rows]))
+    A_ph2 = jnp.concatenate(
+        [A_ph[:1], jnp.where(take_end, prev_pair_end, A_ph[1:])], axis=0)
+    ph_out = assemble(A_ph2, ph_fill)
 
     # ---- fm_current from unwrapped phase diffs (functions.py:375) ----
     slot_of = np.minimum(np.arange(L) // step, n_pairs - 1)
     r_of = np.arange(L) - slot_of * step                # r in [0, step] (tail>step)
-    is_anchor = (np.arange(L) % step == 0) & (np.arange(L) < Lp)
-    cov_pair = pair[slot_of] & (r_of[:, None] > 0) & (r_of[:, None] <= step)
-    cov_anchor = jnp.where(jnp.asarray(is_anchor)[:, None],
-                           in_run[np.minimum(np.arange(L) // step, n_ti - 1)],
-                           False)
-    cov = cov_pair | cov_anchor
+    rmask = jnp.asarray((r_of > 0) & (r_of <= step))[:, None]
+    pair_dense = jnp.concatenate(
+        [jnp.repeat(pair, step, axis=0),
+         jnp.broadcast_to(pair[-1:], (L - n_pairs * step, K))], axis=0)
+    cov = (pair_dense & rmask) | strided(in_run)
     dph = ph_out - jnp.concatenate([ph_out[:1], ph_out[:-1]], axis=0)
     ddmod = jnp.mod(dph + jnp.pi, 2.0 * jnp.pi) - jnp.pi
     ddmod = jnp.where((ddmod == -jnp.pi) & (dph > 0), jnp.pi, ddmod)
-    starts_dense = jnp.zeros((L, K), bool).at[anchor_rows].set(run_start)
+    starts_dense = strided(run_start)
     fm_current = jnp.where(
         starts_dense, fm_out,
         jnp.where(cov & ~starts_dense, (fs / (2.0 * jnp.pi)) * ddmod, 0.0))

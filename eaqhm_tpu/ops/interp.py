@@ -143,3 +143,52 @@ def cubic4_eval(x4, y4, q, mask=None):
     coef = jnp.linalg.solve(V, y4[..., None])[..., 0]
     return (coef[..., 0:1] + coef[..., 1:2] * qn
             + coef[..., 2:3] * qn ** 2 + coef[..., 3:4] * qn ** 3)
+
+
+def notaknot_interp_uniform(yv, step: int, length: int):
+    """Not-a-knot cubic spline through uniformly spaced anchors, evaluated
+    at every integer sample 0..length-1 (extrapolating past the last
+    anchor with the end cubic) — the DC-track interpolation (reference
+    functions.py:340, interp1d kind=3 over the analysis grid).
+
+    Mathematically identical to ``notaknot_interp(arange(n)*step, yv, q)``
+    but TPU-shaped: with uniform spacing the not-a-knot end conditions
+    decouple (M_1 = d_1/(6h), M_{n-2} = d_{n-2}/(6h)), the interior
+    tridiagonal solves with vector-carry scans (scalar-carry scans crawl on
+    TPU: measured 26.7 ms vs ~0.1 ms for this path), and the per-sample
+    evaluation is a repeat-reshape (no gathers, no searchsorted).
+
+    yv: [n] anchor values at samples 0, step, 2*step, ...; returns [length].
+    """
+    from eaqhm_tpu.models.tracks import _segmented_notaknot_M
+
+    dtype = yv.dtype
+    n = yv.shape[0]
+    h = float(step)
+    y2 = yv[:, None]
+    in_run = jnp.ones((n, 1), bool)
+    start = jnp.zeros((n, 1), jnp.int32)
+    end = jnp.full((n, 1), n - 1, jnp.int32)
+    M = _segmented_notaknot_M(y2, in_run, start, end, h, dtype)[:, 0]
+
+    r = jnp.arange(step, dtype=dtype)[None, :]          # [1, step]
+    B = r / h
+    A = 1.0 - B
+    ys = yv[:n - 1][:, None]
+    ye = yv[1:][:, None]
+    Ms = M[:n - 1][:, None]
+    Me = M[1:][:, None]
+    seg = (A * ys + B * ye
+           + ((A ** 3 - A) * Ms + (B ** 3 - B) * Me) * (h * h) / 6.0)
+    main = seg.reshape(-1)                               # [(n-1)*step]
+    ncov = (n - 1) * step
+    if length <= ncov:
+        return main[:length]
+    # tail: continue the last segment's cubic (extrapolation)
+    rt = jnp.arange(step, step + (length - ncov), dtype=dtype)
+    Bt = rt / h
+    At = 1.0 - Bt
+    tail = (At * yv[n - 2] + Bt * yv[n - 1]
+            + ((At ** 3 - At) * M[n - 2]
+               + (Bt ** 3 - Bt) * M[n - 1]) * (h * h) / 6.0)
+    return jnp.concatenate([main, tail])

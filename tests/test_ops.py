@@ -174,3 +174,39 @@ def test_solve_ls_block_inverse_matches_cholesky():
     finally:
         solver.SOLVE_METHOD.update(old)
     np.testing.assert_allclose(x_bi, x_ch, rtol=1e-8, atol=1e-10)
+
+
+class TestPallasCholSolve:
+    """Batched HPD Cholesky-solve kernel (interpret mode on CPU)."""
+
+    def _mk(self, B, M, seed=0):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(B, M, M)) + 1j * rng.normal(size=(B, M, M))
+        R = (A @ np.conj(np.swapaxes(A, -1, -2)) / M
+             + np.eye(M)).astype(np.complex64)
+        d = np.sqrt(np.real(np.einsum("bii->bi", R)))
+        R = (R / (d[:, :, None] * d[:, None, :])).astype(np.complex64)
+        b = (rng.normal(size=(B, M))
+             + 1j * rng.normal(size=(B, M))).astype(np.complex64)
+        return R, b
+
+    def test_matches_dense_solve(self):
+        import jax.numpy as jnp
+        from eaqhm_tpu.ops.pallas_chol import chol_solve
+        for B, M in [(5, 50), (3, 32)]:
+            R, b = self._mk(B, M)
+            x = np.asarray(chol_solve(jnp.asarray(R), jnp.asarray(b),
+                                      interpret=True))
+            xref = np.linalg.solve(R, b[..., None])[..., 0]
+            err = np.abs(x - xref).max() / np.abs(xref).max()
+            assert err < 2e-5, (B, M, err)
+
+    def test_identity_padding_unaffected(self):
+        import jax.numpy as jnp
+        from eaqhm_tpu.ops.pallas_chol import chol_solve
+        # B not divisible by G and M not divisible by NB: exercises both pads
+        R, b = self._mk(9, 37)
+        x = np.asarray(chol_solve(jnp.asarray(R), jnp.asarray(b),
+                                  interpret=True))
+        xref = np.linalg.solve(R, b[..., None])[..., 0]
+        np.testing.assert_allclose(x, xref, rtol=2e-4, atol=2e-5)
