@@ -45,6 +45,21 @@ def _segmented_notaknot_M(y, in_run, start_slot, end_slot, h, dtype):
 
     y: [n, K] anchor values; in_run: [n, K]; start/end_slot: [n, K] (valid
     where in_run); h: spacing.  Returns M [n, K].
+
+    The segmented Thomas elimination is a sequential recurrence, but both
+    sweeps are reformulated as log-depth ``associative_scan``s (a
+    sequential ``lax.scan`` over ~4k anchor slots costs ~100 ms on TPU vs
+    ~2 ms here):
+
+    - forward: the carry (cp, dp) update
+        den = 4h - h*cp;  cp' = h/den;  dp' = (d_i - h*dp)/den
+      is linear in homogeneous coordinates (p, q, r) with cp = p/r,
+      dp = q/r — slot matrix A_i = [[0,0,h],[0,-h,d_i],[-h,0,4h]]; resets
+      at known slots are the constant maps [[0,0,0],[0,0,mk],[0,0,1]].
+      A max-abs normalization inside the combine keeps the prefix
+      products from overflowing (projective invariance).
+    - backward: v_i = dp_i - cp_i * v_{i+1} is an affine suffix
+      composition (a, b) with a = -cp, b = dp (constants at known slots).
     """
     n, K = y.shape
     s = jnp.arange(n)[:, None]
@@ -56,27 +71,46 @@ def _segmented_notaknot_M(y, in_run, start_slot, end_slot, h, dtype):
     unknown = interior & ~known
     M_known = d / (6.0 * h)
 
-    def fwd(carry, inp):
-        cp_prev, dp_prev = carry
-        d_i, kn, un, mk = inp
-        den = 4.0 * h - h * cp_prev
-        cp_u = h / den
-        dp_u = (d_i - h * dp_prev) / den
-        cp = jnp.where(kn, 0.0, jnp.where(un, cp_u, 0.0))
-        dp = jnp.where(kn, mk, jnp.where(un, dp_u, 0.0))
-        return (cp, dp), (cp, dp)
+    un = unknown
+    kn = known
+    zero = jnp.zeros((n, K), dtype)
+    hu = jnp.where(un, h, 0.0).astype(dtype)
+    # A[i] rows: (p', q', r') = A @ (p, q, r)
+    A = jnp.stack([
+        jnp.stack([zero, zero, hu], axis=-1),
+        jnp.stack([zero, -hu, jnp.where(un, d, jnp.where(kn, M_known, 0.0))
+                   .astype(dtype)], axis=-1),
+        jnp.stack([-hu, zero, jnp.where(un, 4.0 * h, 1.0).astype(dtype)],
+                  axis=-1),
+    ], axis=-2)                                           # [n, K, 3, 3]
 
-    zK = jnp.zeros((K,), dtype)
-    (_, _), (cp, dp) = jax.lax.scan(fwd, (zK, zK), (d, known, unknown, M_known))
+    def compose(l, r):
+        c = jnp.einsum("...ij,...jk->...ik", r, l)        # later @ earlier
+        nrm = jnp.max(jnp.abs(c), axis=(-2, -1), keepdims=True)
+        return c / jnp.maximum(nrm, jnp.asarray(1e-30, dtype))
 
-    def bwd(v_next, inp):
-        cp_i, dp_i, kn, un, mk = inp
-        v = jnp.where(kn, mk, jnp.where(un, dp_i - cp_i * v_next, 0.0))
-        return v, v
+    P = jax.lax.associative_scan(compose, A, axis=0)      # prefix products
+    # state_i = P_i @ (0, 0, 1) -> last column
+    p = P[..., 0, 2]
+    q = P[..., 1, 2]
+    r = P[..., 2, 2]
+    rsafe = jnp.where(r != 0, r, 1.0)
+    cp = p / rsafe
+    dp = q / rsafe
 
-    _, v_rev = jax.lax.scan(bwd, zK, (cp[::-1], dp[::-1], known[::-1],
-                                      unknown[::-1], M_known[::-1]))
-    M = v_rev[::-1]
+    a_b = jnp.where(un, -cp, 0.0)
+    b_b = jnp.where(kn, M_known, jnp.where(un, dp, 0.0))
+
+    def aff(l, r):
+        # reverse=True flips the sequence, scans, and flips back, so `l`
+        # holds the HIGHER-original-index block (inner maps) and `r` the
+        # lower (outer): composite v -> r(l(v))
+        la, lb = l
+        ra, rb = r
+        return la * ra, ra * lb + rb
+
+    _, vb = jax.lax.associative_scan(aff, (a_b, b_b), axis=0, reverse=True)
+    M = vb
     # not-a-knot endpoints: linear extrapolation of M (uniform h)
     M1 = jnp.roll(M, -1, axis=0)
     M2 = jnp.roll(M, -2, axis=0)
