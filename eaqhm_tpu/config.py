@@ -53,6 +53,10 @@ class EaqhmConfig:
     solve_dtype: Optional[str] = None  # override for LS solve; None -> dtype
     # replicate reference quirks needed for bit-comparable SRER (SURVEY §2.5)
     replicate_quirks: bool = True
+    # keep-previous-on-decline convergence rule (reference
+    # functions.py:394-402); False runs all max_adaptations regardless
+    # (diagnostic: exposes the full SRER trajectory)
+    stop_on_decline: bool = True
     # collect per-adaptation accepted-harmonic counts (adds one small
     # device->host transfer per adaptation; off for max throughput)
     collect_metrics: bool = False

@@ -514,7 +514,10 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         if verbose:
             print(f"SRER: {cur} dB in Adaptation No: {a}")
         if a != 0 and srer[a] <= srer[a - 1]:
-            break
+            if config.stop_on_decline:
+                break
+            if srer[a] <= max(srer[:a]):
+                continue    # diagnostic mode: keep best-so-far, keep going
         best = dict(s_recon=s_rec, a0=a0_i, am=am_f, fm=fm_f, ph=ph_f)
 
     # ---- package DetComponents (reference functions.py:404-411) ----
