@@ -9,7 +9,7 @@ dataclass, extended with TPU-specific knobs (dtype policy, bucketing, mesh).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # Gender presets, reference functions.py:95-109.
 _GENDER_LIMITS = {
@@ -50,7 +50,10 @@ class EaqhmConfig:
     # (TPU path; measured SRER delta vs the f64 reference <= 0.04 dB per
     # adaptation on SA19, final SRER delta 6e-4 dB)
     dtype: str = "auto"             # "auto" | "float32" | "float64"
-    solve_dtype: Optional[str] = None  # override for LS solve; None -> dtype
+    # LS solve algorithm: "auto" picks the dtype default (f64 -> XLA
+    # cholesky for bit-stable parity, f32 -> block_inverse GEMM recursion);
+    # "pallas" opts into the ops.pallas_chol blocked VMEM kernel (f32 only)
+    solve_method: str = "auto"      # "auto"|"block_inverse"|"cholesky"|"pallas"
     # replicate reference quirks needed for bit-comparable SRER (SURVEY §2.5)
     replicate_quirks: bool = True
     # keep-previous-on-decline convergence rule (reference

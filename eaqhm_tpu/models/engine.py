@@ -100,7 +100,7 @@ def _pad_chunks(arrs, chunk):
 
 
 def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
-                chunk: int):
+                chunk: int, method=None):
     """Adaptation-0 analysis: batched stationary fits + acceptance.
 
     Returns per-frame (a0_val, am, fm, ph, acc) on the frame grid
@@ -115,7 +115,8 @@ def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
     def do_chunk(args):
         c, f0c, Kc_, wlc = args
         s_win = s[jnp.clip(c[:, None] + o[None, :], 0, s.shape[0] - 1)]
-        return iqhm_batch(s_win, o, wlc, f0c, Kc_, fs, Kc, dtype=dtype)
+        return iqhm_batch(s_win, o, wlc, f0c, Kc_, fs, Kc, dtype=dtype,
+                          method=method)
 
     amps, slopes = jax.lax.map(do_chunk, (c_ch, f0_ch, K_ch, wl_ch))
     amps = amps.reshape(-1, 2 * Kc + 1)[:No]
@@ -136,7 +137,7 @@ def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
 
 def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
                   dead_center, h, do_update, W: int, Kc: int, fs: float,
-                  chunk: int):
+                  chunk: int, method=None):
     """Adaptation >=1 analysis for one frame bucket: fits + acceptance.
 
     Reference functions.py:198-324 (a > 0 branch), including the dead-track
@@ -173,7 +174,8 @@ def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
         k0 = (jnp.arange(Kc) == 0)[None, None, :]
         fm_win = jnp.where(use[..., None] & k0, DEAD_TRACK_F0, fm_win)
         am_win = jnp.where(use[..., None] & k0, DEAD_TRACK_AM, am_win)
-        return eaqhm_batch(s_win, fm_win, am_win, o, wlc, mk, fs, dtype=dtype)
+        return eaqhm_batch(s_win, fm_win, am_win, o, wlc, mk, fs, dtype=dtype,
+                           method=method)
 
     amps, slopes, fmis = jax.lax.map(do_chunk, (c_ch, wl_ch, dead_ch, mk_ch))
     amps = amps.reshape(-1, 2 * Kc + 1)[:No]
@@ -244,9 +246,10 @@ def _combine_buckets(parts, idx_list, No: int, Kcm: int, dtype):
 
 
 @partial(jax.jit,
-         static_argnames=("geom", "fs", "chunk", "length", "step", "No"))
+         static_argnames=("geom", "fs", "chunk", "length", "step", "No",
+                          "method"))
 def _adapt0_full(s, buckets, centers, det, std_det, geom, fs: float,
-                 chunk: int, length: int, step: int, No: int):
+                 chunk: int, length: int, step: int, No: int, method=None):
     """Whole adaptation 0 as ONE device dispatch: bucketed analysis +
     tracks + synthesis + SRER.
 
@@ -260,7 +263,8 @@ def _adapt0_full(s, buckets, centers, det, std_det, geom, fs: float,
         for (idx, c_b, f0_b, K_b, wl_b), (Wb, Kb) in zip(buckets, geom):
             vo_b = jnp.ones(c_b.shape[0], bool)
             parts.append(_iqhm_stage(s, c_b, f0_b, K_b, wl_b, vo_b,
-                                     W=Wb, Kc=Kb, fs=fs, chunk=chunk))
+                                     W=Wb, Kc=Kb, fs=fs, chunk=chunk,
+                                     method=method))
         a0_v, am_v, fm_v, ph_v, acc_v = _combine_buckets(
             parts, [b[0] for b in buckets], No, Kcm, dtype)
         voiced = jnp.zeros(No, bool)
@@ -273,10 +277,11 @@ def _adapt0_full(s, buckets, centers, det, std_det, geom, fs: float,
 
 
 @partial(jax.jit,
-         static_argnames=("geom", "fs", "chunk", "length", "step", "No"))
+         static_argnames=("geom", "fs", "chunk", "length", "step", "No",
+                          "method"))
 def _adapt_full(s, fm_current, am_current, buckets, centers, h, do_update,
                 det, std_det, geom, fs: float, chunk: int, length: int,
-                step: int, No: int):
+                step: int, No: int, method=None):
     """Whole adaptation >=1 as ONE device dispatch, bucketed.
 
     The dead-track bootstrap's left-visibility overlay (functions.py:204-210)
@@ -305,7 +310,8 @@ def _adapt_full(s, fm_current, am_current, buckets, centers, h, do_update,
                              mk_b)
             parts.append(_eaqhm_bucket(
                 s, fm_current, am_current, c_b, wl_b, dd_b, mk_b,
-                dead_center, h, do_update, W=Wb, Kc=Kb, fs=fs, chunk=chunk))
+                dead_center, h, do_update, W=Wb, Kc=Kb, fs=fs, chunk=chunk,
+                method=method))
             off += nb
         a0_v, am_v, fm_v, ph_v, acc_v = _combine_buckets(
             parts, [b[0] for b in buckets], No, Kcm, dtype)
@@ -374,6 +380,16 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # ---- pitch (SWIPE') + 5 ms f0 grid (one fused device dispatch) ----
     plan = swipe_mod.make_plan(float(fs), float(f0min), float(f0max), length)
     grid_step = int(round(fs * 5 / 1000))
+    if config.replicate_quirks:
+        # reference getLinear raises when a 5 ms-grid query lies beyond the
+        # last SWIPE' pitch row (extrapolation factor outside [0,1],
+        # functions.py:676-677); non-quirk mode clamps instead
+        t_last = (len(np.arange(0, length - 1, grid_step)) - 1) * grid_step / fs
+        if t_last > plan.t[-1]:
+            raise ValueError(
+                "Can't interpolate f0 grid: query time "
+                f"{t_last:.6f}s exceeds last pitch row {plan.t[-1]:.6f}s "
+                "(reference getLinear raise, functions.py:676-677)")
     with jax.profiler.TraceAnnotation("eaqhm/pitch"):
         f0s, f0_grid = _pitch_fn(plan, grid_step, length)(s)
         f0_grid_np = np.asarray(f0_grid)
@@ -477,6 +493,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
 
     geom = tuple(geom)
     centers_j = jnp.asarray(centers)
+    method = None if config.solve_method == "auto" else config.solve_method
 
     srer: List[float] = []
     best = {}
@@ -492,7 +509,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
                     s, bucket_args0(), centers_j, det_j,
                     jnp.asarray(std_det, dtype),
                     geom=geom, fs=float(fs), chunk=fplan.chunk, length=length,
-                    step=step, No=No_ti)
+                    step=step, No=No_ti, method=method)
             else:
                 h = f0_stale / (a + 1)
                 (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt_full(
@@ -500,7 +517,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
                     jnp.asarray(h, dtype), bool(f0_stale > f0min), det_j,
                     jnp.asarray(std_det, dtype),
                     geom=geom, fs=float(fs), chunk=fplan.chunk, length=length,
-                    step=step, No=No_ti)
+                    step=step, No=No_ti, method=method)
             am_cur = am_f
             cur = float(srer_d)
         srer.append(cur)

@@ -51,13 +51,17 @@ def _segmented_notaknot_M(y, in_run, start_slot, end_slot, h, dtype):
     sequential ``lax.scan`` over ~4k anchor slots costs ~100 ms on TPU vs
     ~2 ms here):
 
-    - forward: the carry (cp, dp) update
-        den = 4h - h*cp;  cp' = h/den;  dp' = (d_i - h*dp)/den
-      is linear in homogeneous coordinates (p, q, r) with cp = p/r,
-      dp = q/r — slot matrix A_i = [[0,0,h],[0,-h,d_i],[-h,0,4h]]; resets
-      at known slots are the constant maps [[0,0,0],[0,0,mk],[0,0,1]].
-      A max-abs normalization inside the combine keeps the prefix
-      products from overflowing (projective invariance).
+    - forward: with uniform spacing the elimination multiplier
+        cp_i = 1 / (4 - cp_{i-1}),  cp_0 = 0
+      depends ONLY on the distance from the last reset slot and converges
+      geometrically to 2 - sqrt(3), so it comes from a small host-side
+      table indexed by position-in-run; the remaining recurrence
+        dp_i = (d_i/h - dp_{i-1}) / (4 - cp_{i-1})
+      is a scalar affine prefix composition (a, b) whose a-products decay
+      by ~0.27 per slot — numerically benign in f32.  (A projective 3x3
+      matrix-product formulation used previously lost ~3 digits to its
+      max-normalization under f32 on TPU — measured 780 Hz max FM-track
+      error vs 0.8 Hz for this form.)
     - backward: v_i = dp_i - cp_i * v_{i+1} is an affine suffix
       composition (a, b) with a = -cp, b = dp (constants at known slots).
     """
@@ -73,30 +77,27 @@ def _segmented_notaknot_M(y, in_run, start_slot, end_slot, h, dtype):
 
     un = unknown
     kn = known
-    zero = jnp.zeros((n, K), dtype)
-    hu = jnp.where(un, h, 0.0).astype(dtype)
-    # A[i] rows: (p', q', r') = A @ (p, q, r)
-    A = jnp.stack([
-        jnp.stack([zero, zero, hu], axis=-1),
-        jnp.stack([zero, -hu, jnp.where(un, d, jnp.where(kn, M_known, 0.0))
-                   .astype(dtype)], axis=-1),
-        jnp.stack([-hu, zero, jnp.where(un, 4.0 * h, 1.0).astype(dtype)],
-                  axis=-1),
-    ], axis=-2)                                           # [n, K, 3, 3]
+    # position-in-run cp table (host f64): ctab[k] = cp after k unknowns
+    CPLEN = 48                         # fixed point reached to f64 eps by ~24
+    ctab = np.zeros(CPLEN + 1)
+    for k in range(1, CPLEN + 1):
+        ctab[k] = 1.0 / (4.0 - ctab[k - 1])
+    ctab_j = jnp.asarray(ctab, dtype)
+    prev_block = jax.lax.cummax(jnp.where(~un, s, -1), axis=0)
+    pos = jnp.clip(s - prev_block, 0, CPLEN)             # >= 1 on unknowns
+    cp_prev = ctab_j[jnp.clip(pos - 1, 0, CPLEN)]
+    g = 4.0 - cp_prev
+    cp = jnp.where(un, ctab_j[pos], 0.0)
 
-    def compose(l, r):
-        c = jnp.einsum("...ij,...jk->...ik", r, l)        # later @ earlier
-        nrm = jnp.max(jnp.abs(c), axis=(-2, -1), keepdims=True)
-        return c / jnp.maximum(nrm, jnp.asarray(1e-30, dtype))
+    a_f = jnp.where(un, -1.0 / g, 0.0)
+    b_f = jnp.where(un, d / (h * g), jnp.where(kn, M_known, 0.0))
 
-    P = jax.lax.associative_scan(compose, A, axis=0)      # prefix products
-    # state_i = P_i @ (0, 0, 1) -> last column
-    p = P[..., 0, 2]
-    q = P[..., 1, 2]
-    r = P[..., 2, 2]
-    rsafe = jnp.where(r != 0, r, 1.0)
-    cp = p / rsafe
-    dp = q / rsafe
+    def aff_fwd(l, r):
+        la, lb = l
+        ra, rb = r
+        return la * ra, ra * lb + rb
+
+    _, dp = jax.lax.associative_scan(aff_fwd, (a_f, b_f), axis=0)
 
     a_b = jnp.where(un, -cp, 0.0)
     b_b = jnp.where(kn, M_known, jnp.where(un, dp, 0.0))

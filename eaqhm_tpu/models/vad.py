@@ -138,7 +138,11 @@ def voiced_unvoiced_frames(s, fs: int, is_male: bool, dtype=jnp.float64,
     sm_en = _windowed_std_db(s_smooth, ti, window_range, valid, dtype)
 
     is_speech = valid & (sp_en > -60.0)
-    is_voiced = is_speech & ((sp_en - sm_en) < 10.0) & (sm_en > -50.0)
+    # `sp_en < sm_en + 10` == `(sp_en - sm_en) < 10` (functions.py:626-633)
+    # but never forms the -inf - -inf NaN on silent frames (jax_debug_nans
+    # CI tier would trip on the transient NaN even though the comparison
+    # result is unaffected)
+    is_voiced = is_speech & (sp_en < sm_en + 10.0) & (sm_en > -50.0)
 
     if replicate_quirks:
         is_speech = reference_flag_smooth(is_speech, 5)

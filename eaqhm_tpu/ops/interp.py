@@ -130,19 +130,32 @@ def cubic4_eval(x4, y4, q, mask=None):
     spline IS the unique interpolating cubic.
 
     x4: [..., 4]; y4: [..., 4]; q: [..., qn].  Returns [..., qn].
-    Uses a normalized Newton/Vandermonde solve for stability.
+
+    Direct Lagrange evaluation: l_j(q) = prod_{m != j} (q - x_m)/(x_j - x_m).
+    The synthetic-anchor node sets are extremely clustered ([0, s, s+1, s+2]
+    with s up to ~4000 grid slots), where a monomial/Vandermonde solve is
+    catastrophically ill-conditioned in f32 (measured ~1e2 relative error);
+    the Lagrange ratios stay O(1) for queries near the cluster.
     """
     x4 = jnp.asarray(x4)
     y4 = jnp.asarray(y4)
-    # normalize abscissae to [0, 1] span for conditioning
-    x0 = x4[..., :1]
-    scale = x4[..., 3:4] - x0
-    xn = (x4 - x0) / scale
-    qn = (q - x0) / scale
-    V = jnp.stack([jnp.ones_like(xn), xn, xn ** 2, xn ** 3], axis=-1)
-    coef = jnp.linalg.solve(V, y4[..., None])[..., 0]
-    return (coef[..., 0:1] + coef[..., 1:2] * qn
-            + coef[..., 2:3] * qn ** 2 + coef[..., 3:4] * qn ** 3)
+    # normalize by the cluster spacing to keep products mid-range
+    x1 = x4[..., 1:2]
+    scale = jnp.maximum(jnp.abs(x4[..., 3:4] - x4[..., 1:2]), 1e-30)
+    xn = (x4 - x1) / scale                             # [..., 4]
+    qn = (q - x1) / scale                              # [..., qn]
+    out = jnp.zeros(jnp.broadcast_shapes(qn.shape, y4[..., :1].shape),
+                    y4.dtype)
+    for j in range(4):
+        num = jnp.ones_like(qn)
+        den = jnp.ones_like(x4[..., 0:1])
+        for m in range(4):
+            if m == j:
+                continue
+            num = num * (qn - xn[..., m:m + 1])
+            den = den * (xn[..., j:j + 1] - xn[..., m:m + 1])
+        out = out + y4[..., j:j + 1] * (num / den)
+    return out
 
 
 def notaknot_interp_uniform(yv, step: int, length: int):

@@ -78,17 +78,21 @@ def hpd_block_inverse(R, base: int = 16, precision=None):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-# LS solve algorithm: "cholesky" (XLA batched Cholesky + triangular solves;
-# bit-for-bit stable, used for f64 parity) or "block_inverse" (recursive
-# Schur GEMMs; MXU-bound, default on the f32 TPU path).
-SOLVE_METHOD = {"float32": "block_inverse", "float64": "cholesky"}
+def default_solve_method(rdtype) -> str:
+    """LS solve algorithm by dtype: "cholesky" (XLA batched Cholesky +
+    triangular solves; bit-for-bit stable, used for f64 parity) or
+    "block_inverse" (recursive Schur GEMMs; MXU-bound, default on the f32
+    TPU path).  "pallas" (ops.pallas_chol blocked VMEM factorization) is
+    opt-in via EaqhmConfig.solve_method."""
+    return "cholesky" if rdtype == jnp.float64 else "block_inverse"
 
 
-def _solve_ls(E, w, s_win, colmask, rdtype):
+def _solve_ls(E, w, s_win, colmask, rdtype, method=None):
     """Common normal-equation solve.
 
     E: [B, N, M] complex basis (already column-masked);
-    w: [B, N] window; s_win: [B, N]; colmask: [B, M] bool.
+    w: [B, N] window; s_win: [B, N]; colmask: [B, M] bool;
+    method: None (dtype default) | "block_inverse" | "cholesky" | "pallas".
     Returns x: [B, M] complex.
 
     The Gram contraction runs at Precision.HIGHEST: TPU f32 matmuls default
@@ -114,8 +118,22 @@ def _solve_ls(E, w, s_win, colmask, rdtype):
     R = R * (dinv[:, None, :] * dinv[:, :, None]).astype(R.dtype)
     rhs = rhs * dinv
     # R is Hermitian positive definite (Gram + identity padding).
-    method = SOLVE_METHOD["float64" if rdtype == jnp.float64 else "float32"]
-    if method == "block_inverse":
+    if method is None:
+        method = default_solve_method(rdtype)
+    if method == "pallas":
+        # blocked VMEM Cholesky factorize+solve (ops.pallas_chol); f32-only.
+        # R is already equilibrated to unit diagonal + identity-padded — the
+        # kernel's documented input contract.  One refinement step with the
+        # HIGHEST-precision residual recovers the f32 factorization error.
+        from eaqhm_tpu.ops.pallas_chol import chol_solve
+        interpret = jax.default_backend() != "tpu"
+        x = chol_solve(R.astype(jnp.complex64), rhs.astype(jnp.complex64),
+                       interpret=interpret).astype(E.dtype)
+        r = rhs - jnp.einsum("bmp,bp->bm", R, x, precision=hp)
+        x = x + chol_solve(R.astype(jnp.complex64),
+                           r.astype(jnp.complex64),
+                           interpret=interpret).astype(E.dtype)
+    elif method == "block_inverse":
         # recursive Schur-complement inverse: GEMMs only (MXU); matches the
         # reference's inv()-based solve policy (functions.py:465,530).
         # Two steps of iterative refinement push the f32 inverse error from
@@ -136,7 +154,7 @@ def _solve_ls(E, w, s_win, colmask, rdtype):
     return x * dinv
 
 
-def iqhm_batch(s_win, o, wl, f0, K, fs, Kc, dtype=jnp.float64):
+def iqhm_batch(s_win, o, wl, f0, K, fs, Kc, dtype=jnp.float64, method=None):
     """Batched stationary fit (reference functions.py:420-470).
 
     s_win: [B, N] signal windows centered on each frame;
@@ -156,7 +174,7 @@ def iqhm_batch(s_win, o, wl, f0, K, fs, Kc, dtype=jnp.float64):
     E = jnp.concatenate([E1, o[None, :, None].astype(cdtype) * E1], axis=-1)
     w = blackman_window(o[None, :].astype(dtype), wl[:, None].astype(dtype))
     colmask = jnp.concatenate([colmask1, colmask1], axis=-1)
-    x = _solve_ls(E, w, s_win.astype(dtype), colmask, dtype)
+    x = _solve_ls(E, w, s_win.astype(dtype), colmask, dtype, method=method)
     Kc2 = 2 * Kc + 1
     return x[:, :Kc2], x[:, Kc2:]
 
@@ -211,7 +229,7 @@ def repair_tracks(fm_win, am_win, o, wl):
 
 
 def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
-                dtype=jnp.float64, eps=1e-4):
+                dtype=jnp.float64, eps=1e-4, method=None):
     """Batched non-stationary fit (reference functions.py:472-535).
 
     fm_win/am_win: [B, N, Kc] instantaneous track windows (positive
@@ -264,7 +282,7 @@ def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
     colmask1 = jnp.concatenate([jnp.flip(colmask_k, axis=-1),
                                 jnp.ones((B, 1), bool), colmask_k], axis=-1)
     colmask = jnp.concatenate([colmask1, colmask1], axis=-1)
-    x = _solve_ls(E, w, s_win.astype(dtype), colmask, dtype)
+    x = _solve_ls(E, w, s_win.astype(dtype), colmask, dtype, method=method)
 
     Kc2 = 2 * Kc + 1
     amps = x[:, :Kc2]

@@ -25,6 +25,12 @@ if not _TPU_MODE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+# CI sanitizer tier (SURVEY.md §5): EAQHM_CI_DEBUG_NANS=1 turns on JAX's NaN
+# checker for the fast unit tests (.github/workflows/ci.yml) so any
+# non-finite intermediate fails loudly instead of propagating.
+if os.environ.get("EAQHM_CI_DEBUG_NANS") == "1":
+    jax.config.update("jax_debug_nans", True)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -165,15 +165,30 @@ def test_solve_ls_block_inverse_matches_cholesky():
     w = jnp.asarray(rng.uniform(0.1, 1.0, size=(B, N)))
     s = jnp.asarray(rng.normal(size=(B, N)))
     colmask = jnp.ones((B, M), bool)
-    old = dict(solver.SOLVE_METHOD)
-    try:
-        solver.SOLVE_METHOD["float64"] = "cholesky"
-        x_ch = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float64))
-        solver.SOLVE_METHOD["float64"] = "block_inverse"
-        x_bi = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float64))
-    finally:
-        solver.SOLVE_METHOD.update(old)
+    x_ch = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float64,
+                                       method="cholesky"))
+    x_bi = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float64,
+                                       method="block_inverse"))
     np.testing.assert_allclose(x_bi, x_ch, rtol=1e-8, atol=1e-10)
+
+
+def test_solve_ls_pallas_matches_cholesky():
+    """The opt-in Pallas method (interpret mode off-TPU) agrees with the
+    XLA cholesky path to f32 solve tolerance."""
+    import jax.numpy as jnp
+    from eaqhm_tpu.ops import solver
+    rng = np.random.default_rng(7)
+    B, N, M = 4, 61, 26
+    E = jnp.asarray(rng.normal(size=(B, N, M))
+                    + 1j * rng.normal(size=(B, N, M)), jnp.complex64)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, size=(B, N)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(B, N)), jnp.float32)
+    colmask = jnp.ones((B, M), bool)
+    x_ch = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float32,
+                                       method="cholesky"))
+    x_pl = np.asarray(solver._solve_ls(E, w, s, colmask, jnp.float32,
+                                       method="pallas"))
+    np.testing.assert_allclose(x_pl, x_ch, rtol=2e-4, atol=2e-5)
 
 
 class TestPallasCholSolve:
