@@ -106,3 +106,87 @@ def pad_batch(signals: Sequence[np.ndarray], length: Optional[int] = None):
     for i, s in enumerate(signals):
         out[i, :min(len(s), L)] = s[:L]
     return out, ls
+
+
+def run_corpus_sharded(paths: Sequence[str],
+                       config: EaqhmConfig = EaqhmConfig(),
+                       mesh=None, batch_size: Optional[int] = None,
+                       checkpoint_dir: Optional[str] = None,
+                       verbose: bool = False) -> CorpusResult:
+    """Throughput corpus path: the FULL pipeline (SWIPE' pitch, VAD,
+    adaptation 0, eaQHM convergence loop), batched over padded utterances
+    and sharded over the (data, model) mesh (parallel.batch_engine).
+
+    Batches are data-parallel over mesh axis 'data' (batch_size defaults to
+    the data-axis size); within an utterance frames/harmonics shard over
+    'model'; SRER statistics reduce with psum collectives.  On a multi-host
+    pod each process feeds its own `jax.process_index()`-strided shard of
+    the corpus.  Failure isolation is per-batch (a bad file fails its
+    batch's members individually on the host read, not the run).
+    """
+    import jax
+    from eaqhm_tpu.parallel.batch_engine import analyze_batch
+
+    nproc = jax.process_count() if jax.process_count() > 1 else 1
+    pidx = jax.process_index() if nproc > 1 else 0
+    my_paths = list(paths)[pidx::nproc]
+
+    if mesh is None:
+        try:
+            from eaqhm_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        except Exception:
+            mesh = None
+    if batch_size is None:
+        batch_size = mesh.devices.shape[0] if mesh is not None else 1
+
+    ckpt = CorpusCheckpoint(checkpoint_dir) if checkpoint_dir else None
+    res = CorpusResult()
+    t0 = time.time()
+    pending = []                                    # (uid, fs, signal)
+    for path in my_paths + [None]:                  # None flushes the tail
+        if path is not None:
+            uid = _utt_id(path)
+            if ckpt is not None and ckpt.is_done(uid):
+                res.skipped.append(uid)
+                continue
+            try:
+                fs, s = io_mod.read_wav(path)
+                pending.append((uid, fs, s))
+            except Exception as e:  # noqa: BLE001 — isolation is the point
+                res.failed[uid] = f"{type(e).__name__}: {e}"
+                if ckpt is not None:
+                    ckpt.mark_failed(uid, str(e))
+                continue
+        flush = path is None or len(pending) >= batch_size
+        if not flush or not pending:
+            continue
+        batch = pending[:batch_size]
+        pending = pending[batch_size:]
+        # pad the batch up to the mesh's data-axis size with a repeat of the
+        # first member (dropped from the stats below)
+        real_n = len(batch)
+        while mesh is not None and len(batch) % mesh.devices.shape[0]:
+            batch.append(batch[0])
+        fs0 = batch[0][1]
+        try:
+            out = analyze_batch([b[2] for b in batch], fs0, config,
+                                mesh=mesh, verbose=verbose)
+        except Exception as e:  # noqa: BLE001
+            for uid, _, _ in batch[:real_n]:
+                res.failed[uid] = f"{type(e).__name__}: {e}"
+                if ckpt is not None:
+                    ckpt.mark_failed(uid, str(e))
+            continue
+        for i, (uid, fs_i, s_i) in enumerate(batch[:real_n]):
+            res.audio_seconds += len(s_i) / fs_i
+            res.done[uid] = {
+                "final_srer_db": float(out.final_srer[i]),
+                "srer_db": [float(x) for x in out.srer[i]],
+                "n_adaptations": int(out.n_adaptations),
+            }
+            if ckpt is not None:
+                ckpt.save_result(uid, list(out.srer[i]),
+                                 out.s_recon[i, :len(s_i)])
+    res.elapsed = time.time() - t0
+    return res
