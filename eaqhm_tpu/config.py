@@ -63,6 +63,11 @@ class EaqhmConfig:
     # collect per-adaptation accepted-harmonic counts (adds one small
     # device->host transfer per adaptation; off for max throughput)
     collect_metrics: bool = False
+    # quantize jit-visible shapes (signal length to 4096-sample pages,
+    # bucket sizes to 256 frames, window half-widths to multiples of 8,
+    # harmonic tiers to a fixed lattice) so distinct utterances share
+    # compiled kernels; numerically exact (masks/dump rows absorb padding)
+    quantize_geometry: bool = True
 
     @property
     def pitch_limits(self) -> Tuple[float, float]:

@@ -223,14 +223,15 @@ def _combine_buckets(parts, idx_list, No: int, Kcm: int, dtype):
     """Scatter per-bucket frame results back onto the full frame grid.
 
     parts: list of (a0_val [Nb], am/fm/ph [Nb, Kb], acc [Nb, Kb]);
-    idx_list: list of [Nb] frame indices.  Returns full-grid arrays
-    ([No], [No, Kcm] x3, acc [No, Kcm]).
+    idx_list: list of [Nb] frame indices — index No is a dump row for
+    bucket-size-quantization padding entries (sliced off).  Returns
+    full-grid arrays ([No], [No, Kcm] x3, acc [No, Kcm]).
     """
-    a0 = jnp.zeros(No, dtype)
-    am = jnp.zeros((No, Kcm), dtype)
-    fm = jnp.zeros((No, Kcm), dtype)
-    ph = jnp.zeros((No, Kcm), dtype)
-    acc = jnp.zeros((No, Kcm), bool)
+    a0 = jnp.zeros(No + 1, dtype)
+    am = jnp.zeros((No + 1, Kcm), dtype)
+    fm = jnp.zeros((No + 1, Kcm), dtype)
+    ph = jnp.zeros((No + 1, Kcm), dtype)
+    acc = jnp.zeros((No + 1, Kcm), bool)
 
     def padk(x, fill=0):
         kpad = Kcm - x.shape[1]
@@ -242,13 +243,26 @@ def _combine_buckets(parts, idx_list, No: int, Kcm: int, dtype):
         fm = fm.at[idx].set(padk(fm_b))
         ph = ph.at[idx].set(padk(ph_b))
         acc = acc.at[idx].set(padk(acc_b, False))
-    return a0, am, fm, ph, acc
+    return a0[:No], am[:No], fm[:No], ph[:No], acc[:No]
+
+
+def _masked_srer(det, s_rec, std_det, n_valid):
+    """SRER over the first n_valid samples (padded tail excluded) —
+    identical to 20*log10(std_det/std(det - s_rec)) when n_valid == len
+    (reference functions.py:388)."""
+    dtype = det.dtype
+    resid = det - s_rec
+    m = (jnp.arange(resid.shape[0]) < n_valid).astype(dtype)
+    n = jnp.maximum(n_valid.astype(dtype), 1.0)
+    mu = jnp.sum(resid * m) / n
+    sd = jnp.sqrt(jnp.sum(m * (resid - mu) ** 2) / n)
+    return 20.0 * jnp.log10(std_det / sd)
 
 
 @partial(jax.jit,
          static_argnames=("geom", "fs", "chunk", "length", "step", "No",
                           "method"))
-def _adapt0_full(s, buckets, centers, det, std_det, geom, fs: float,
+def _adapt0_full(s, buckets, centers, det, std_det, n_valid, geom, fs: float,
                  chunk: int, length: int, step: int, No: int, method=None):
     """Whole adaptation 0 as ONE device dispatch: bucketed analysis +
     tracks + synthesis + SRER.
@@ -267,12 +281,13 @@ def _adapt0_full(s, buckets, centers, det, std_det, geom, fs: float,
                                      method=method))
         a0_v, am_v, fm_v, ph_v, acc_v = _combine_buckets(
             parts, [b[0] for b in buckets], No, Kcm, dtype)
-        voiced = jnp.zeros(No, bool)
+        voiced = jnp.zeros(No + 1, bool)
         for b in buckets:
             voiced = voiced.at[b[0]].set(True)
+        voiced = voiced[:No]
         a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
             a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
-    srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
+    srer = _masked_srer(det, s_rec, std_det, n_valid)
     return a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer
 
 
@@ -280,8 +295,8 @@ def _adapt0_full(s, buckets, centers, det, std_det, geom, fs: float,
          static_argnames=("geom", "fs", "chunk", "length", "step", "No",
                           "method"))
 def _adapt_full(s, fm_current, am_current, buckets, centers, h, do_update,
-                det, std_det, geom, fs: float, chunk: int, length: int,
-                step: int, No: int, method=None):
+                det, std_det, n_valid, geom, fs: float, chunk: int,
+                length: int, step: int, No: int, method=None):
     """Whole adaptation >=1 as ONE device dispatch, bucketed.
 
     The dead-track bootstrap's left-visibility overlay (functions.py:204-210)
@@ -295,9 +310,12 @@ def _adapt_full(s, fm_current, am_current, buckets, centers, h, do_update,
     with jax.default_matmul_precision("highest"):
         # global dead/selected-harmonic masks (reference functions.py:202-210)
         all_centers = jnp.concatenate([b[1] for b in buckets])
+        # bucket-size-quantization padding entries (idx == No) must not
+        # enter the dead overlay (their center is a dummy sample)
+        real_all = jnp.concatenate([b[0] for b in buckets]) < No
         fmc_all = fm_current[all_centers]                     # [Nv, Kcm]
-        mask_all = fmc_all != 0
-        dead_all = ~jnp.any(mask_all, axis=1)
+        mask_all = (fmc_all != 0) & real_all[:, None]
+        dead_all = ~jnp.any(mask_all, axis=1) & real_all
         dead_center = jnp.zeros(L, bool).at[all_centers].set(dead_all)
 
         parts = []
@@ -315,12 +333,13 @@ def _adapt_full(s, fm_current, am_current, buckets, centers, h, do_update,
             off += nb
         a0_v, am_v, fm_v, ph_v, acc_v = _combine_buckets(
             parts, [b[0] for b in buckets], No, Kcm, dtype)
-        voiced = jnp.zeros(No, bool)
+        voiced = jnp.zeros(No + 1, bool)
         for b in buckets:
             voiced = voiced.at[b[0]].set(True)
+        voiced = voiced[:No]
         a0_i, am_f, fm_f, ph_f, fm_cur, s_rec = _scatter_and_interp(
             a0_v, am_v, fm_v, ph_v, acc_v, centers, length, step, fs, voiced)
-    srer = 20.0 * jnp.log10(std_det / jnp.std(det - s_rec))
+    srer = _masked_srer(det, s_rec, std_det, n_valid)
     return a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer
 
 
@@ -373,32 +392,43 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         from scipy.signal import filtfilt as _filtfilt
         b, a_, _ = filters.design_ellip(fs, config.fc, "highpass")
         s_np = _filtfilt(b, a_, s_np)
-    s = jnp.asarray(s_np, dtype)
+
+    # ---- shape quantization (compile-cache sharing across utterances):
+    # jit-visible shapes derive from the padded Lpad; all *semantics*
+    # (margins, VAD, SRER, Kmax) derive from the true length ----
+    LQ = 4096
+    Lpad = ((length + LQ - 1) // LQ) * LQ if config.quantize_geometry \
+        else length
+    s = jnp.asarray(np.pad(s_np, (0, Lpad - length)), dtype)
 
     f0min, f0max = config.pitch_limits
 
     # ---- pitch (SWIPE') + 5 ms f0 grid (one fused device dispatch) ----
-    plan = swipe_mod.make_plan(float(fs), float(f0min), float(f0max), length)
+    plan = swipe_mod.make_plan(float(fs), float(f0min), float(f0max), Lpad)
     grid_step = int(round(fs * 5 / 1000))
+    Ng_true = len(np.arange(0, length - 1, grid_step))
     if config.replicate_quirks:
         # reference getLinear raises when a 5 ms-grid query lies beyond the
         # last SWIPE' pitch row (extrapolation factor outside [0,1],
         # functions.py:676-677); non-quirk mode clamps instead
-        t_last = (len(np.arange(0, length - 1, grid_step)) - 1) * grid_step / fs
-        if t_last > plan.t[-1]:
+        t_last = (Ng_true - 1) * grid_step / fs
+        t_swipe_last = np.arange(0, length / fs, 0.001)[-1]
+        if t_last > t_swipe_last:
             raise ValueError(
                 "Can't interpolate f0 grid: query time "
-                f"{t_last:.6f}s exceeds last pitch row {plan.t[-1]:.6f}s "
+                f"{t_last:.6f}s exceeds last pitch row {t_swipe_last:.6f}s "
                 "(reference getLinear raise, functions.py:676-677)")
     with jax.profiler.TraceAnnotation("eaqhm/pitch"):
-        f0s, f0_grid = _pitch_fn(plan, grid_step, length)(s)
+        f0s, f0_grid = _pitch_fn(plan, grid_step, Lpad)(s)
         f0_grid_np = np.asarray(f0_grid)
 
     Fmax = int(fs / 2 - 200)
     if config.partials > 0:
         Kmax = int(config.partials)
     else:
-        Kmax = int(round(Fmax / f0_grid_np[:, 1].min()) + 10)
+        # min over the TRUE-length grid rows only (padded-tail rows estimate
+        # pitch on silence and would corrupt the Kmax derivation)
+        Kmax = int(round(Fmax / f0_grid_np[:Ng_true, 1].min()) + 10)
 
     # ---- VAD (host f64; exact reference parity) + fullWaveform fixup ----
     vti, v_sp, v_vo, frame_step = vad_mod.voiced_unvoiced_frames_host(
@@ -417,12 +447,16 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     v_vo_np = np.asarray(v_vo)
     v_sp_np = np.asarray(v_sp)
     std_det = float(np.std(det))
-    det_j = jnp.asarray(det, dtype)
+    det_j = jnp.asarray(np.pad(det, (0, Lpad - length)), dtype)
 
     # ---- frame geometry (host; static shapes for jit) ----
-    ti = np.arange(1, length, step)
+    # anchor/scatter grid spans the padded length (static shapes); frames
+    # beyond the true grid are never voiced and never bucketed
+    ti_pad = np.arange(1, Lpad, step)
+    No_pad = len(ti_pad)
+    centers = ti_pad - 1
+    ti = ti_pad[:len(np.arange(1, length, step))]
     No_ti = len(ti)
-    centers = ti - 1
     framei = ti / frame_step
     fi = framei.astype(int)
     in_margin = (ti > margin) & (ti < length - margin)
@@ -447,16 +481,25 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
 
     W = int(wl_frame.max())
     Kc = int(K_frame[voiced].max())
-    fplan = FramePlan(length=length, n_ti=No_ti, centers=centers,
+    fplan = FramePlan(length=length, n_ti=No_ti, centers=centers[:No_ti],
                       voiced=voiced, W=W, Kc=Kc, Kmax=Kmax)
 
     # ---- bucket voiced frames by harmonic count (solve cost ~ M^3 with
     # M = 2(2K+1); padding every frame to the global Kc wastes ~3x flops
-    # on typical speech — SA19: 55% of frames need K<=32 vs Kc=48) ----
+    # on typical speech — SA19: 55% of frames need K<=32 vs Kc=48).
+    # Tier bounds, window half-widths and bucket sizes are quantized to
+    # fixed lattices so distinct utterances share compiled kernels ----
     K_v = K_frame[voiced_idx]
     wl_v = wl_frame[voiced_idx]
-    tiers = [t for t in (24, 32, 40, 48, 64, 96, 128, 192) if t < Kc]
-    tiers.append(Kc)
+    K_LATTICE = (24, 32, 40, 48, 64, 96, 128, 192, 256)
+    if config.quantize_geometry:
+        Kc_q = next((t for t in K_LATTICE if t >= Kc), Kc)
+        BQ = 256
+        wq = 8
+    else:
+        Kc_q, BQ, wq = Kc, 1, 1
+    tiers = [t for t in K_LATTICE if t < Kc_q]
+    tiers.append(Kc_q)
     bucket_tier = np.searchsorted(tiers, K_v)
     buckets = []
     geom = []
@@ -473,26 +516,38 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         vsel = np.concatenate(pending_idx)
         pending_idx = []
         gi = voiced_idx[vsel]
-        Kb = int(K_v[vsel].max())
-        Wb = int(wl_v[vsel].max())
+        Kb = tiers[b] if config.quantize_geometry else int(K_v[vsel].max())
+        Wb = -(-int(wl_v[vsel].max()) // wq) * wq
         buckets.append(gi)
         geom.append((Wb, Kb))
 
+    def _padded(gi, vals, fill):
+        # pad to a BQ multiple: <=BQ-1 wasted (identity) solves per bucket,
+        # ~17 possible shapes per tier per length page
+        pad = (-len(gi)) % BQ
+        return np.concatenate([vals, np.full(pad, fill, vals.dtype)])
+
     def bucket_args0():
+        # padding entries: dump frame index No_pad, dummy center 0, wl 0
+        # (zero window -> identity solve), K 0 (no live columns)
         return tuple(
-            (jnp.asarray(gi), jnp.asarray(centers[gi]),
-             jnp.asarray(f0_frame[gi], dtype), jnp.asarray(K_frame[gi]),
-             jnp.asarray(wl_frame[gi]))
+            (jnp.asarray(_padded(gi, gi, No_pad)),
+             jnp.asarray(_padded(gi, centers[gi], 0)),
+             jnp.asarray(_padded(gi, f0_frame[gi], 100.0), dtype),
+             jnp.asarray(_padded(gi, K_frame[gi], 0)),
+             jnp.asarray(_padded(gi, wl_frame[gi], 0)))
             for gi in buckets)
 
     def bucket_args():
         return tuple(
-            (jnp.asarray(gi), jnp.asarray(centers[gi]),
-             jnp.asarray(wl_frame[gi]))
+            (jnp.asarray(_padded(gi, gi, No_pad)),
+             jnp.asarray(_padded(gi, centers[gi], 0)),
+             jnp.asarray(_padded(gi, wl_frame[gi], 0)))
             for gi in buckets)
 
     geom = tuple(geom)
     centers_j = jnp.asarray(centers)
+    n_valid = jnp.asarray(length, jnp.int32)
     method = None if config.solve_method == "auto" else config.solve_method
 
     srer: List[float] = []
@@ -507,17 +562,17 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
             if a == 0:
                 (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt0_full(
                     s, bucket_args0(), centers_j, det_j,
-                    jnp.asarray(std_det, dtype),
-                    geom=geom, fs=float(fs), chunk=fplan.chunk, length=length,
-                    step=step, No=No_ti, method=method)
+                    jnp.asarray(std_det, dtype), n_valid,
+                    geom=geom, fs=float(fs), chunk=fplan.chunk, length=Lpad,
+                    step=step, No=No_pad, method=method)
             else:
                 h = f0_stale / (a + 1)
                 (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt_full(
                     s, fm_cur, am_cur, bucket_args(), centers_j,
                     jnp.asarray(h, dtype), bool(f0_stale > f0min), det_j,
-                    jnp.asarray(std_det, dtype),
-                    geom=geom, fs=float(fs), chunk=fplan.chunk, length=length,
-                    step=step, No=No_ti, method=method)
+                    jnp.asarray(std_det, dtype), n_valid,
+                    geom=geom, fs=float(fs), chunk=fplan.chunk, length=Lpad,
+                    step=step, No=No_pad, method=method)
             am_cur = am_f
             cur = float(srer_d)
         srer.append(cur)
@@ -540,15 +595,15 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # ---- package DetComponents (reference functions.py:404-411) ----
     # gather the analysis instants on-device: transfers [No, K] (~1 MB)
     # instead of the dense [length, K] tracks (~15 MB each via the tunnel)
-    am_fin = np.asarray(best["am"][centers_j])
-    fm_fin = np.asarray(best["fm"][centers_j])
-    ph_fin = np.asarray(best["ph"][centers_j])
-    a0_fin = np.asarray(best["a0"][centers_j])
+    am_fin = np.asarray(best["am"][centers_j])[:No_ti]
+    fm_fin = np.asarray(best["fm"][centers_j])[:No_ti]
+    ph_fin = np.asarray(best["ph"][centers_j])[:No_ti]
+    a0_fin = np.asarray(best["a0"][centers_j])[:No_ti]
     nz = am_fin != 0
     result = EaqhmResult(
-        s_recon=np.asarray(best["s_recon"]),
+        s_recon=np.asarray(best["s_recon"])[:length],
         srer=srer,
-        det_ti=centers,
+        det_ti=centers[:No_ti],
         # reference marks every in-margin instant isSpeech=True
         # (functions.py:325-329)
         det_is_speech=in_margin,

@@ -33,13 +33,13 @@ orig = engine._adapt_full  # jitted
 
 
 def spy(s, fm_current, am_current, buckets, centers, h, do_update,
-        det, std_det, **statics):
+        det, std_det, n_valid, **statics):
     if "args" not in captured:
         captured["args"] = (s, fm_current, am_current, buckets, centers, h,
-                            do_update, det, std_det)
+                            do_update, det, std_det, n_valid)
         captured["statics"] = dict(statics)
     return orig(s, fm_current, am_current, buckets, centers, h, do_update,
-                det, std_det, **statics)
+                det, std_det, n_valid, **statics)
 
 
 def main():
@@ -54,7 +54,7 @@ def main():
     args = captured["args"]
     st = captured["statics"]
     (s, fm_current, am_current, buckets, centers, h, do_update,
-     det, std_det) = args
+     det, std_det, n_valid) = args
     geom = st["geom"]
     print("geom:", geom, "bucket sizes:", [b[0].shape[0] for b in buckets])
 
@@ -63,8 +63,8 @@ def main():
 
     # analysis-only: run the per-bucket solves but skip scatter/interp
     def analysis_only(s, fm_current, am_current, buckets, centers, h,
-                      do_update, det, std_det, geom, fs, chunk, length,
-                      step, No):
+                      do_update, det, std_det, n_valid, geom, fs, chunk,
+                      length, step, No, method=None):
         dtype = s.dtype
         L = s.shape[0]
         Kcm = max(k for _, k in geom)
@@ -91,16 +91,17 @@ def main():
                 parts, [b[0] for b in buckets], No, Kcm, dtype)
 
     ana = partial(jax.jit, static_argnames=("geom", "fs", "chunk", "length",
-                                            "step", "No"))(analysis_only)
+                                            "step", "No",
+                                            "method"))(analysis_only)
     ana_p = partial(ana, **st)
     print(f"analysis only:    {timeit(ana_p, *args):7.1f}ms")
 
     # interp-only: fixed analysis outputs -> scatter/interp/synth/SRER
     a0_v, am_v, fm_v, ph_v, acc_v = jax.block_until_ready(ana_p(*args))
-    voiced = np.zeros(st["No"], bool)
+    voiced = np.zeros(st["No"] + 1, bool)   # row No = bucket-padding dump
     for b in buckets:
         voiced[np.asarray(b[0])] = True
-    voiced_j = jnp.asarray(voiced)
+    voiced_j = jnp.asarray(voiced[:st["No"]])
 
     @partial(jax.jit, static_argnames=("length", "step", "fs"))
     def interp_only(a0_v, am_v, fm_v, ph_v, acc_v, centers, det, std_det,
