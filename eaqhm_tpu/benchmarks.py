@@ -70,64 +70,62 @@ def bench_config2(repeats=3):
           final_srer_db=out)
 
 
-def bench_config3(batch=64, repeats=3, seconds=2.0):
-    """Batch of 64 mono 16 kHz utterances, one chip, frame-vectorized fits.
+def _corpus_signals(n, fs=16000, seconds=2.0):
+    """Real-pipeline corpus inputs: SA19 tiles + multi-harmonic tones.
 
-    Uses the sharded batched adaptation step (all utterances' LS fits in one
-    batched solve) over however many local devices exist (1 on the bench
-    chip) — the per-chip throughput number for corpus mode.
+    Half the utterances are contiguous slices of the real SA19 recording
+    (voiced speech), half are tapered harmonic tones in the female pitch
+    band — no fabricated track state anywhere; every utterance goes through
+    pitch, VAD, and the full adaptation loop.
     """
-    import jax
-    import jax.numpy as jnp
-    from eaqhm_tpu.parallel.mesh import make_mesh, data_sharding
-    from eaqhm_tpu.parallel.sharded import make_sharded_step
-
-    fs = 16000
+    fs_ref, sa = _sa19()
+    assert fs_ref == fs
     length = int(seconds * fs)
-    step, W, Kc = 15, 150, 40
-    margin = 480
     rng = np.random.default_rng(0)
-    t = np.arange(length) / fs
-    f0s = rng.uniform(150.0, 260.0, size=batch)
-    sigs = np.stack([
-        sum((0.3 / k) * np.sin(2 * np.pi * k * f0 * t) for k in range(1, 6))
-        for f0 in f0s]).astype(np.float32)
+    sigs = []
+    for i in range(n):
+        if i % 2 == 0:
+            off = (i // 2 * 9000 + 4000) % (len(sa) - length)
+            sigs.append(np.array(sa[off:off + length]))
+        else:
+            f0 = rng.uniform(170.0, 280.0)
+            t = np.arange(length) / fs
+            ph = 2 * np.pi * f0 * t
+            s = sum((0.35 / k) * np.cos(k * ph + rng.uniform(0, 2 * np.pi))
+                    for k in range(1, 6))
+            fade = 1200
+            env = np.ones(length)
+            env[:fade] = 0.5 - 0.5 * np.cos(np.pi * np.arange(fade) / fade)
+            env[-fade:] = env[:fade][::-1]
+            sigs.append(s * env)
+    return sigs, fs
 
-    ti = np.arange(1, length, step)
-    centers = ti - 1
-    voiced = (ti > margin) & (ti < length - margin)
-    wl = np.where(voiced, 120, 0)
-    fm = np.zeros((batch, length, Kc), np.float32)
-    am = np.zeros((batch, length, Kc), np.float32)
-    for b in range(batch):
-        for k in range(min(5, Kc)):
-            fm[b, margin:-margin, k] = f0s[b] * (k + 1)
-            am[b, margin:-margin, k] = 0.3 / (k + 1)
 
+def bench_config3(batch=8, repeats=2, seconds=2.0):
+    """Batch of utterances through the FULL pipeline on the local mesh.
+
+    Real inputs (SA19 tiles + tones), real pitch/VAD/adaptation loop —
+    parallel.batch_engine.analyze_batch, utterances data-parallel, frames/
+    harmonics over 'model' where the mesh has one.
+    """
+    from eaqhm_tpu.config import EaqhmConfig
+    from eaqhm_tpu.parallel.mesh import make_mesh
+    from eaqhm_tpu.parallel.batch_engine import analyze_batch
+
+    sigs, fs = _corpus_signals(batch, seconds=seconds)
+    cfg = EaqhmConfig(gender="female", max_adaptations=6)
     mesh = make_mesh()
-    stepfn = make_sharded_step(mesh, W=W, Kc=Kc, fs=float(fs), step=step,
-                               length=length)
-    s_b = jax.device_put(jnp.asarray(sigs), data_sharding(mesh, None))
-    fm_b = jax.device_put(jnp.asarray(fm), data_sharding(mesh, None, None))
-    am_b = jax.device_put(jnp.asarray(am), data_sharding(mesh, None, None))
-    wl_b = jnp.tile(jnp.asarray(wl)[None], (batch, 1))
-    vo_b = jnp.tile(jnp.asarray(voiced)[None], (batch, 1))
-    det_std = jnp.std(s_b, axis=1)
-    args = (s_b, fm_b, am_b, jnp.asarray(centers), wl_b, vo_b,
-            jnp.asarray(50.0, jnp.float32), jnp.asarray(True), det_std)
-
-    out = stepfn(*args)                        # warmup/compile
-    jax.block_until_ready(out[0])
+    out = analyze_batch(sigs, fs, cfg, mesh=mesh)      # warmup/compile
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        out = stepfn(*args)
-        jax.block_until_ready(out[0])
+        out = analyze_batch(sigs, fs, cfg, mesh=mesh)
         times.append(time.time() - t0)
     el = min(times)
     audio = batch * seconds
-    _emit("batch64_adaptation_step", audio / el, unit="audio-s/s/step",
-          srer_mean_db=round(float(out[-2]), 3), batch=batch,
+    _emit("corpus_batch_full_pipeline", audio / el,
+          srer_mean_db=round(float(out.srer_mean), 3), batch=batch,
+          n_adaptations=int(out.n_adaptations),
           n_devices=int(np.prod(mesh.devices.shape)), elapsed_s=round(el, 3))
 
 
@@ -148,15 +146,41 @@ def bench_config4(repeats=1):
           n_adaptations=len(res.srer), elapsed_s=round(el, 3))
 
 
-def bench_config5(n_utts=32, repeats=2):
-    """Sharded corpus step across all local devices (multi-host stand-in).
+def bench_config5(n_utts=16, repeats=1, seconds=2.0):
+    """Sharded corpus run across all local devices (multi-host stand-in).
 
-    On a real pod this runs under jax.distributed with the corpus sharded
-    per host; here it exercises the same mesh + psum path over the local
-    device set (8 virtual CPU devices in CI, 1 chip on the bench runner)
-    and reports scaling-relevant throughput.
+    Writes a real wav corpus (SA19 tiles + tones) and drives
+    run_corpus_sharded end to end — reads, pitch, VAD, adaptation loops,
+    checkpointing, psum SRER stats.  On a real pod this runs under
+    jax.distributed with the corpus host-sharded; here it exercises the
+    identical mesh + collective path over the local device set.
     """
-    bench_config3(batch=n_utts, repeats=repeats, seconds=1.0)
+    import tempfile
+    from eaqhm_tpu.config import EaqhmConfig
+    from eaqhm_tpu.parallel.mesh import make_mesh
+    from eaqhm_tpu.parallel.corpus import run_corpus_sharded
+    from eaqhm_tpu.utils.io import write_wav
+
+    sigs, fs = _corpus_signals(n_utts, seconds=seconds)
+    cfg = EaqhmConfig(gender="female", max_adaptations=6)
+    mesh = make_mesh()
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i, s in enumerate(sigs):
+            p = f"{d}/utt{i:03d}.wav"
+            write_wav(p, fs, s)
+            paths.append(p)
+        res = run_corpus_sharded(paths, cfg, mesh=mesh,
+                                 batch_size=max(4, mesh.devices.shape[0]))
+        # warm second pass (clean checkpoint dir-less timing)
+        res = run_corpus_sharded(paths, cfg, mesh=mesh,
+                                 batch_size=max(4, mesh.devices.shape[0]))
+    srers = [v["final_srer_db"] for v in res.done.values()]
+    _emit("corpus_sharded_full_pipeline", res.audio_seconds_per_second,
+          n_utts=n_utts, done=len(res.done), failed=len(res.failed),
+          srer_mean_db=round(float(np.mean(srers)), 3) if srers else None,
+          n_devices=int(np.prod(mesh.devices.shape)),
+          elapsed_s=round(res.elapsed, 3))
 
 
 def main(argv=None):

@@ -107,16 +107,27 @@ def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
     ([No], [No, Kc] ...).  Reference functions.py:183-324 (a == 0 branch).
     """
     dtype = s.dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     o = jnp.arange(-W, W + 1)
 
     (c_ch, f0_ch, K_ch, wl_ch), No = _pad_chunks(
-        [jnp.asarray(centers), f0, K, jnp.maximum(wl, 1)], chunk)
+        [jnp.asarray(centers), f0, K, wl], chunk)
 
     def do_chunk(args):
         c, f0c, Kc_, wlc = args
-        s_win = s[jnp.clip(c[:, None] + o[None, :], 0, s.shape[0] - 1)]
-        return iqhm_batch(s_win, o, wlc, f0c, Kc_, fs, Kc, dtype=dtype,
-                          method=method)
+
+        def live(_):
+            s_win = s[jnp.clip(c[:, None] + o[None, :], 0, s.shape[0] - 1)]
+            return iqhm_batch(s_win, o, jnp.maximum(wlc, 1), f0c, Kc_, fs,
+                              Kc, dtype=dtype, method=method)
+
+        def empty(_):
+            z = jnp.zeros((c.shape[0], 2 * Kc + 1), cdtype)
+            return z, z
+
+        # capacity-padded tiers: chunks holding only padding frames
+        # (wl == 0) skip the solve entirely (lax.cond branches on TPU)
+        return jax.lax.cond(jnp.any(wlc > 0), live, empty, 0)
 
     amps, slopes = jax.lax.map(do_chunk, (c_ch, f0_ch, K_ch, wl_ch))
     amps = amps.reshape(-1, 2 * Kc + 1)[:No]
@@ -152,6 +163,7 @@ def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
     bucket), so slicing fm/am windows to [:, :, :Kc] is exact.
     """
     dtype = s.dtype
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     L = s.shape[0]
     o = jnp.arange(-W, W + 1)
     centers = jnp.asarray(centers)
@@ -161,21 +173,29 @@ def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
     fmc = fm_k[centers]                                      # [Nb, Kc]
 
     (c_ch, wl_ch, dead_ch, mk_ch), No = _pad_chunks(
-        [centers, jnp.maximum(wl, 1), dead, mask_k], chunk)
+        [centers, wl, dead, mask_k], chunk)
 
     def do_chunk(args):
         c, wlc, dd, mk = args
-        rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
-        s_win = s[rows]
-        fm_win = fm_k[rows]                                  # [B, N, Kc]
-        am_win = am_k[rows]
-        use = dead_center[rows] & ((o[None, :] < 0)
-                                   | ((o[None, :] == 0) & dd[:, None]))
-        k0 = (jnp.arange(Kc) == 0)[None, None, :]
-        fm_win = jnp.where(use[..., None] & k0, DEAD_TRACK_F0, fm_win)
-        am_win = jnp.where(use[..., None] & k0, DEAD_TRACK_AM, am_win)
-        return eaqhm_batch(s_win, fm_win, am_win, o, wlc, mk, fs, dtype=dtype,
-                           method=method)
+
+        def live(_):
+            rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
+            s_win = s[rows]
+            fm_win = fm_k[rows]                              # [B, N, Kc]
+            am_win = am_k[rows]
+            use = dead_center[rows] & ((o[None, :] < 0)
+                                       | ((o[None, :] == 0) & dd[:, None]))
+            k0 = (jnp.arange(Kc) == 0)[None, None, :]
+            fm_win = jnp.where(use[..., None] & k0, DEAD_TRACK_F0, fm_win)
+            am_win = jnp.where(use[..., None] & k0, DEAD_TRACK_AM, am_win)
+            return eaqhm_batch(s_win, fm_win, am_win, o, jnp.maximum(wlc, 1),
+                               mk, fs, dtype=dtype, method=method)
+
+        def empty(_):
+            z = jnp.zeros((c.shape[0], 2 * Kc + 1), cdtype)
+            return z, z, jnp.zeros((c.shape[0], Kc), dtype)
+
+        return jax.lax.cond(jnp.any(wlc > 0), live, empty, 0)
 
     amps, slopes, fmis = jax.lax.map(do_chunk, (c_ch, wl_ch, dead_ch, mk_ch))
     amps = amps.reshape(-1, 2 * Kc + 1)[:No]
@@ -487,63 +507,103 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # ---- bucket voiced frames by harmonic count (solve cost ~ M^3 with
     # M = 2(2K+1); padding every frame to the global Kc wastes ~3x flops
     # on typical speech — SA19: 55% of frames need K<=32 vs Kc=48).
-    # Tier bounds, window half-widths and bucket sizes are quantized to
-    # fixed lattices so distinct utterances share compiled kernels ----
+    #
+    # With quantize_geometry every jit-visible shape is a function of
+    # (Lpad page, config, fs) ONLY: the tier list and per-tier (W, K)
+    # bounds derive from the pitch floor, and every tier is
+    # capacity-padded to the full frame grid — chunks holding only
+    # padding skip their solves via lax.cond, so runtime still scales
+    # with the actual voiced-frame count while any utterance that lands
+    # on the same length page reuses every compiled kernel.
     K_v = K_frame[voiced_idx]
     wl_v = wl_frame[voiced_idx]
     K_LATTICE = (24, 32, 40, 48, 64, 96, 128, 192, 256)
-    if config.quantize_geometry:
-        Kc_q = next((t for t in K_LATTICE if t >= Kc), Kc)
-        BQ = 256
-        wq = 8
-    else:
-        Kc_q, BQ, wq = Kc, 1, 1
-    tiers = [t for t in K_LATTICE if t < Kc_q]
-    tiers.append(Kc_q)
-    bucket_tier = np.searchsorted(tiers, K_v)
-    buckets = []
-    geom = []
-    min_bucket = max(256, len(voiced_idx) // 16)
-    pending_idx = []
-    for b in range(len(tiers)):
-        sel = bucket_tier == b
-        if not sel.any():
-            continue
-        pending_idx.append(np.nonzero(sel)[0])
-        # merge undersized buckets upward (compile cost > solve savings)
-        if sum(len(p) for p in pending_idx) < min_bucket and b < len(tiers) - 1:
-            continue
-        vsel = np.concatenate(pending_idx)
-        pending_idx = []
-        gi = voiced_idx[vsel]
-        Kb = tiers[b] if config.quantize_geometry else int(K_v[vsel].max())
-        Wb = -(-int(wl_v[vsel].max()) // wq) * wq
-        buckets.append(gi)
-        geom.append((Wb, Kb))
+    pp2 = config.pitch_periods / 2
 
-    def _padded(gi, vals, fill):
-        # pad to a BQ multiple: <=BQ-1 wasted (identity) solves per bucket,
-        # ~17 possible shapes per tier per length page
-        pad = (-len(gi)) % BQ
+    if config.quantize_geometry:
+        # static bounds from the pitch floor (fine-tune can dip 1/768
+        # octave below f0min — reference SWIPE.py:108-131)
+        f0_floor = f0min * 2.0 ** (-1.0 / 768.0)
+        if config.partials > 0:
+            Kc_bound = int(config.partials)
+        else:
+            Kc_bound = int(round(Fmax / f0_floor) + 10) + 1
+        Kc_bq = next((t for t in K_LATTICE if t >= Kc_bound), Kc_bound)
+        tiers = [t for t in K_LATTICE if t < Kc_bq] + [Kc_bq]
+
+        def tier_W(tk, top):
+            # frames in tier tk have K = int(Fmax/f0) <= tk, i.e.
+            # f0 > Fmax/(tk+1) -> wl < max(120, pp2*fs*(tk+1)/Fmax);
+            # the top tier (K capped at Kmax) sees f0 down to the floor
+            if top:
+                w = max(120, int(np.ceil(pp2 * fs / f0_floor)))
+            else:
+                w = max(120, int(np.ceil(pp2 * fs * (tk + 1) / Fmax)))
+            return -(-w // 8) * 8
+
+        tW = [tier_W(tk, i == len(tiers) - 1) for i, tk in enumerate(tiers)]
+        # tier assignment needs BOTH bounds to hold (wl is data)
+        tsel = np.searchsorted(tiers, K_v)
+        for i, w in enumerate(tW):
+            tsel = np.where((tsel == i) & (wl_v > w), i + 1, tsel)
+        if tsel.max(initial=0) >= len(tiers):
+            # out-of-model frame (shouldn't happen) — widen the top tier
+            tsel = np.minimum(tsel, len(tiers) - 1)
+            tW[-1] = max(tW[-1], -(-int(wl_v.max()) // 8) * 8)
+        cap = -(-(No_pad + 1) // fplan.chunk) * fplan.chunk
+        buckets = []
+        geom = []
+        for i, tk in enumerate(tiers):
+            gi = voiced_idx[tsel == i]
+            buckets.append((gi, cap))
+            geom.append((tW[i], tk))
+    else:
+        bucket_tier = np.searchsorted(
+            [t for t in K_LATTICE if t < Kc] + [Kc], K_v)
+        tiers_e = [t for t in K_LATTICE if t < Kc] + [Kc]
+        buckets = []
+        geom = []
+        min_bucket = max(256, len(voiced_idx) // 16)
+        pending_idx = []
+        for b in range(len(tiers_e)):
+            sel = bucket_tier == b
+            if not sel.any():
+                continue
+            pending_idx.append(np.nonzero(sel)[0])
+            # merge undersized buckets upward (compile > solve savings)
+            if (sum(len(p) for p in pending_idx) < min_bucket
+                    and b < len(tiers_e) - 1):
+                continue
+            vsel = np.concatenate(pending_idx)
+            pending_idx = []
+            gi = voiced_idx[vsel]
+            buckets.append((gi, len(gi)))
+            geom.append((int(wl_v[vsel].max()), int(K_v[vsel].max())))
+
+    def _padded(gi, vals, fill, n):
+        # pad to the bucket's capacity: dump-index scatter + zero windows
+        # make the padding numerically inert; all-padding chunks skip their
+        # solves via lax.cond inside the stage
+        pad = n - len(gi)
         return np.concatenate([vals, np.full(pad, fill, vals.dtype)])
 
     def bucket_args0():
         # padding entries: dump frame index No_pad, dummy center 0, wl 0
         # (zero window -> identity solve), K 0 (no live columns)
         return tuple(
-            (jnp.asarray(_padded(gi, gi, No_pad)),
-             jnp.asarray(_padded(gi, centers[gi], 0)),
-             jnp.asarray(_padded(gi, f0_frame[gi], 100.0), dtype),
-             jnp.asarray(_padded(gi, K_frame[gi], 0)),
-             jnp.asarray(_padded(gi, wl_frame[gi], 0)))
-            for gi in buckets)
+            (jnp.asarray(_padded(gi, gi, No_pad, n)),
+             jnp.asarray(_padded(gi, centers[gi], 0, n)),
+             jnp.asarray(_padded(gi, f0_frame[gi], 100.0, n), dtype),
+             jnp.asarray(_padded(gi, K_frame[gi], 0, n)),
+             jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
+            for gi, n in buckets)
 
     def bucket_args():
         return tuple(
-            (jnp.asarray(_padded(gi, gi, No_pad)),
-             jnp.asarray(_padded(gi, centers[gi], 0)),
-             jnp.asarray(_padded(gi, wl_frame[gi], 0)))
-            for gi in buckets)
+            (jnp.asarray(_padded(gi, gi, No_pad, n)),
+             jnp.asarray(_padded(gi, centers[gi], 0, n)),
+             jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
+            for gi, n in buckets)
 
     geom = tuple(geom)
     centers_j = jnp.asarray(centers)
