@@ -64,10 +64,13 @@ class EaqhmConfig:
     # device->host transfer per adaptation; off for max throughput)
     collect_metrics: bool = False
     # quantize jit-visible shapes (signal length to 4096-sample pages,
-    # bucket sizes to 256 frames, window half-widths to multiples of 8,
-    # harmonic tiers to a fixed lattice) so distinct utterances share
+    # tier capacities to the frame grid, window half-widths to multiples
+    # of 8, harmonic tiers to a fixed lattice) so distinct utterances share
     # compiled kernels; numerically exact (masks/dump rows absorb padding)
     quantize_geometry: bool = True
+    # frames per lax.map chunk in the batched LS stages (VMEM/HBM working
+    # set vs scan-iteration latency trade-off)
+    chunk: int = 128
 
     @property
     def pitch_limits(self) -> Tuple[float, float]:

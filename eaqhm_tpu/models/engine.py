@@ -502,7 +502,8 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     W = int(wl_frame.max())
     Kc = int(K_frame[voiced].max())
     fplan = FramePlan(length=length, n_ti=No_ti, centers=centers[:No_ti],
-                      voiced=voiced, W=W, Kc=Kc, Kmax=Kmax)
+                      voiced=voiced, W=W, Kc=Kc, Kmax=Kmax,
+                      chunk=int(config.chunk))
 
     # ---- bucket voiced frames by harmonic count (solve cost ~ M^3 with
     # M = 2(2K+1); padding every frame to the global Kc wastes ~3x flops
