@@ -44,8 +44,14 @@ def main():
     value = audio_seconds / elapsed
     final_srer = float(max(res.srer))
 
+    # metric honesty: only claim "matched SRER" when the trajectory actually
+    # converged to the reference's final value (BASELINE.md); otherwise the
+    # metric name itself flags the mismatch.
+    matched = abs(final_srer - REF_FINAL_SRER) < 0.1
+    metric = ("sa19_audio_seconds_per_second_at_matched_srer" if matched
+              else "sa19_audio_seconds_per_second_SRER_MISMATCH")
     print(json.dumps({
-        "metric": "sa19_audio_seconds_per_second_at_matched_srer",
+        "metric": metric,
         "value": round(value, 4),
         "unit": "audio-s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),
