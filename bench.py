@@ -44,14 +44,16 @@ def main():
     value = audio_seconds / elapsed
     final_srer = float(max(res.srer))
 
-    # metric honesty: only claim "matched SRER" when the trajectory actually
-    # converged to the reference's final value (BASELINE.md); otherwise the
-    # metric name itself flags the mismatch.
-    matched = abs(final_srer - REF_FINAL_SRER) < 0.1
-    metric = ("sa19_audio_seconds_per_second_at_matched_srer" if matched
-              else "sa19_audio_seconds_per_second_SRER_MISMATCH")
+    # metric honesty: the kept adaptation's SRER (the engine's keep-best rule
+    # mirrors the reference's keep-previous-on-decline, functions.py:394-402)
+    # must reach the reference's final value.  One-sided: exceeding the
+    # reference is an improvement, not a mismatch.  The metric name stays
+    # fixed so cross-round tooling can key on it; the boolean carries the
+    # verdict (ADVICE r2).
+    matched = (final_srer - REF_FINAL_SRER) > -0.1
     print(json.dumps({
-        "metric": metric,
+        "metric": "sa19_audio_seconds_per_second_at_matched_srer",
+        "srer_matched": matched,
         "value": round(value, 4),
         "unit": "audio-s/s",
         "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 2),

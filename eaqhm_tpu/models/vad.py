@@ -175,18 +175,17 @@ def deterministic_part_mask(ti, is_speech, is_voiced, frame_step: int,
     """
     sv = np.asarray(is_speech & is_voiced)
     ti = np.asarray(ti)
-    mask = np.zeros(length, dtype=bool)
-    in_run = False
-    start = 0
-    for i, flag in enumerate(sv):
-        if flag and not in_run:
-            in_run = True
-            start = ti[i]
-        elif not flag and in_run:
-            in_run = False
-            lo = max(0, start - frame_step)
-            hi = min(length - 1, ti[i - 1] + frame_step)
-            mask[lo:hi + 1] = True
-    # note: a run still open at the final frame is dropped by the reference
-    # (indices are only flushed when a non-voiced frame is met); replicated.
-    return mask
+    prev = np.concatenate(([False], sv[:-1]))
+    starts = np.nonzero(sv & ~prev)[0]          # first frame of each run
+    ends = np.nonzero(~sv & prev)[0]            # first non-voiced after a run
+    # a run still open at the final frame is dropped by the reference
+    # (indices are only flushed when a non-voiced frame is met); replicated
+    # by pairing each flush with its start and discarding the unflushed tail.
+    n = len(ends)
+    lo = np.maximum(0, ti[starts[:n]] - frame_step)
+    hi = np.minimum(length - 1, ti[ends - 1] + frame_step)
+    # interval union via +1/-1 difference array + prefix sum
+    d = np.zeros(length + 1, np.int64)
+    np.add.at(d, lo, 1)
+    np.add.at(d, hi + 1, -1)
+    return np.cumsum(d[:length]) > 0

@@ -34,7 +34,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from eaqhm_tpu.config import EaqhmConfig
 from eaqhm_tpu.models import engine as engine_mod
@@ -120,16 +120,9 @@ def _local_iqhm(s, centers_l, f0_l, K_l, wl_l, vo_l, geom: BatchGeometry):
 
     amps, _ = jax.lax.map(do_chunk, (c_ch, f0_ch, K_ch, wl_ch))
     amps = amps.reshape(-1, 2 * Kc + 1)[:Nl]
-    a0_val = jnp.real(amps[:, Kc]) * vo_l
-    pos = amps[:, Kc + 1:]
-    absp = jnp.abs(pos)
-    logamp = jnp.where(absp > 0,
-                       20.0 * jnp.log10(jnp.where(absp > 0, absp, 1.0)),
-                       -jnp.inf)
-    maxlog = jnp.max(logamp, axis=1, keepdims=True)
-    acc = vo_l[:, None] & (logamp > maxlog - 150.0)
-    k1 = jnp.arange(1, Kc + 1)[None, :].astype(dtype)
-    out = (a0_val, jnp.abs(pos), k1 * f0_l[:, None], jnp.angle(pos), acc)
+    # shared acceptance core (engine.iqhm_accept — single source for both
+    # the per-utterance and batched paths)
+    out = engine_mod.iqhm_accept(amps, vo_l, f0_l, Kc, dtype)
     return tuple(_pad_k(x, geom.Kc_pad) if x.ndim == 2 else x for x in out)
 
 
@@ -155,34 +148,18 @@ def _local_eaqhm(s, fm_current, am_current, centers_l, wl_l, vo_l,
     def do_chunk(args):
         c, wlc, dd, mk = args
         rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
-        s_win = s[rows]
-        fm_win = fm_k[rows]
-        am_win = am_k[rows]
-        use = dead_center[rows] & ((o[None, :] < 0)
-                                   | ((o[None, :] == 0) & dd[:, None]))
-        k0 = (jnp.arange(Kc) == 0)[None, None, :]
-        fm_win = jnp.where(use[..., None] & k0, engine_mod.DEAD_TRACK_F0,
-                           fm_win)
-        am_win = jnp.where(use[..., None] & k0, engine_mod.DEAD_TRACK_AM,
-                           am_win)
-        return eaqhm_batch(s_win, fm_win, am_win, o, wlc, mk, fs, dtype=dtype)
+        fm_win, am_win = engine_mod.dead_overlay_windows(
+            fm_k, am_k, rows, dead_center, dd, o, Kc)
+        return eaqhm_batch(s[rows], fm_win, am_win, o, wlc, mk, fs,
+                           dtype=dtype)
 
     amps, slopes, fmis = jax.lax.map(
         do_chunk, (c_ch, wl_ch, dead_ch, mk_ch))
     amps = amps.reshape(-1, 2 * Kc + 1)[:Nl]
     fmis = fmis.reshape(-1, Kc)[:Nl]
-    a0_val = jnp.real(amps[:, Kc]) * vo_l
-    pos = amps[:, Kc + 1:]
-    absp = jnp.abs(pos)
-    logamp = jnp.where(absp > 0,
-                       20.0 * jnp.log10(jnp.where(absp > 0, absp, 1.0)),
-                       -jnp.inf)
-    maxlog = jnp.max(logamp, axis=1, keepdims=True)
-    acc = vo_l[:, None] & (logamp > maxlog - 150.0) & (jnp.abs(fmis) < h)
-    fmc_eff = jnp.where(dead[:, None] & (jnp.arange(Kc)[None, :] == 0),
-                        engine_mod.DEAD_TRACK_F0, fmc)
-    fm = jnp.where(do_update, fmc_eff + fmis, fmc_eff)
-    out = (a0_val, jnp.abs(pos), fm, jnp.angle(pos), acc)
+    # shared acceptance core (engine.eaqhm_accept)
+    out = engine_mod.eaqhm_accept(amps, fmis, fmc, dead, h, do_update,
+                                  vo_l, Kc)
     return tuple(_pad_k(x, geom.Kc_pad) if x.ndim == 2 else x for x in out)
 
 
@@ -321,7 +298,7 @@ def make_batch_step(mesh: Optional[Mesh], geom: BatchGeometry, adapt0: bool):
         out_specs = (P("data", None), P("data", None, None),
                      P("data", None, None), dspec, P())
         return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_rep=False)(
+                         out_specs=out_specs, check_vma=False)(
             s_b, det_b, len_b, vo_b, wl_b, *state_b)
 
     return jax.jit(step_global)

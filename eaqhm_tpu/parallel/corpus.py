@@ -143,26 +143,8 @@ def run_corpus_sharded(paths: Sequence[str],
     ckpt = CorpusCheckpoint(checkpoint_dir) if checkpoint_dir else None
     res = CorpusResult()
     t0 = time.time()
-    pending = []                                    # (uid, fs, signal)
-    for path in my_paths + [None]:                  # None flushes the tail
-        if path is not None:
-            uid = _utt_id(path)
-            if ckpt is not None and ckpt.is_done(uid):
-                res.skipped.append(uid)
-                continue
-            try:
-                fs, s = io_mod.read_wav(path)
-                pending.append((uid, fs, s))
-            except Exception as e:  # noqa: BLE001 — isolation is the point
-                res.failed[uid] = f"{type(e).__name__}: {e}"
-                if ckpt is not None:
-                    ckpt.mark_failed(uid, str(e))
-                continue
-        flush = path is None or len(pending) >= batch_size
-        if not flush or not pending:
-            continue
-        batch = pending[:batch_size]
-        pending = pending[batch_size:]
+
+    def flush(batch):
         # pad the batch up to the mesh's data-axis size with a repeat of the
         # first member (dropped from the stats below)
         real_n = len(batch)
@@ -177,7 +159,7 @@ def run_corpus_sharded(paths: Sequence[str],
                 res.failed[uid] = f"{type(e).__name__}: {e}"
                 if ckpt is not None:
                     ckpt.mark_failed(uid, str(e))
-            continue
+            return
         for i, (uid, fs_i, s_i) in enumerate(batch[:real_n]):
             res.audio_seconds += len(s_i) / fs_i
             res.done[uid] = {
@@ -188,5 +170,31 @@ def run_corpus_sharded(paths: Sequence[str],
             if ckpt is not None:
                 ckpt.save_result(uid, list(out.srer[i]),
                                  out.s_recon[i, :len(s_i)])
+
+    # pending utterances are grouped BY SAMPLE RATE: a batch is analyzed at
+    # one fs (analyze_batch takes a single rate), so a 22.05 kHz file must
+    # never ride a 16 kHz batch — it would "succeed" at the wrong rate.
+    pending: dict = {}                              # fs -> [(uid, fs, signal)]
+    for path in my_paths:
+        uid = _utt_id(path)
+        if ckpt is not None and ckpt.is_done(uid):
+            res.skipped.append(uid)
+            continue
+        try:
+            fs, s = io_mod.read_wav(path)
+            pending.setdefault(int(fs), []).append((uid, fs, s))
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            res.failed[uid] = f"{type(e).__name__}: {e}"
+            if ckpt is not None:
+                ckpt.mark_failed(uid, str(e))
+            continue
+        if len(pending[int(fs)]) >= batch_size:
+            flush(pending[int(fs)][:batch_size])
+            pending[int(fs)] = pending[int(fs)][batch_size:]
+    for fsk in sorted(pending):                     # flush the tails
+        q = pending[fsk]
+        while q:
+            flush(q[:batch_size])
+            q = q[batch_size:]
     res.elapsed = time.time() - t0
     return res

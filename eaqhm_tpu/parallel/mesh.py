@@ -8,6 +8,8 @@ transport — jax.sharding + jit insert the collectives).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -41,13 +43,31 @@ def frame_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data", "model"))
 
 
-def multihost_init():
-    """Initialize multi-host JAX (no-op on single host).
+def multihost_init(required: bool = False) -> bool:
+    """Initialize multi-host JAX; returns True when a cluster was joined.
 
     On a real pod slice this is `jax.distributed.initialize()`; corpora are
     sharded host-locally and cross-host stats ride DCN collectives.
+
+    Failure policy: a genuine initialization error (coordinator configured
+    via env/TPU metadata but unreachable, version mismatch, ...) RAISES —
+    silently proceeding single-host would double-process the corpus stride.
+    Only the benign "no cluster configured at all" case degrades to
+    single-host (unless required=True).
     """
+    if jax.process_count() > 1:
+        return True           # already initialized
+    configured = required or any(
+        k in os.environ for k in (
+            "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+            "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"))
     try:
         jax.distributed.initialize()
-    except Exception:
-        pass  # single-host / already initialized
+        return True
+    except Exception as e:  # noqa: BLE001 — classified below
+        if configured:
+            raise RuntimeError(
+                "multi-host init failed with a coordinator configured — "
+                "refusing to silently fall back to single-host (corpus "
+                f"striding would be wrong): {type(e).__name__}: {e}") from e
+        return False          # no cluster anywhere: benign single-host

@@ -58,3 +58,8 @@ def sa19():
     from scipy.io import wavfile
     fs, s = wavfile.read("/root/reference/SA19.WAV")
     return fs, s.astype(np.float64) / 32768.0
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process cluster, etc.)")

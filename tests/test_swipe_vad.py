@@ -23,12 +23,19 @@ class TestSwipe:
         out = np.asarray(swipe.swipep(plan, s))
         # strengths: direct numeric comparison
         np.testing.assert_allclose(out[:, 2], ref[:, 2], rtol=1e-6, atol=1e-9)
-        # pitch: identical up to fine-tune grid quantization; require exact
-        # candidate/grid decisions for the overwhelming majority and tiny
-        # relative error everywhere
         rel = np.abs(out[:, 1] - ref[:, 1]) / ref[:, 1]
-        assert np.median(rel) < 1e-12
-        assert (rel > 1e-3).mean() < 0.005, rel.max()
+        if _X64:
+            # f64 path: EVERY frame's pitch matches the reference exactly up
+            # to fine-tune rounding (verified 0/3968 deviating frames on
+            # SA19; round-3 root-cause of the former 0.5% carve-out — it was
+            # only ever exercised by the f32 branch below)
+            assert rel.max() < 1e-9, rel.max()
+        else:
+            # f32 (EAQHM_TPU_TESTS=1): near-tie argmax decisions between
+            # adjacent 1/96-octave candidates can flip under f32 strength
+            # rounding; bound the rate and the error everywhere else
+            assert np.median(rel) < 1e-6
+            assert (rel > 1e-3).mean() < 0.005, rel.max()
 
     def test_pitch_within_limits(self, plan, sa19):
         fs, s = sa19

@@ -46,15 +46,22 @@ def main():
     fs, s16 = wavfile.read("/root/reference/SA19.WAV")
     sig = s16.astype(np.float64) / 32768.0
 
+    import os
+    quant = os.environ.get("BA_QUANT", "1") == "1"
+    chunk = int(os.environ.get("BA_CHUNK", "128"))
+    method = os.environ.get("BA_METHOD") or "auto"
     engine._adapt_full = spy
     res = engine.analyze(sig, fs, EaqhmConfig(gender="female",
-                                              max_adaptations=2))
+                                              max_adaptations=2,
+                                              quantize_geometry=quant,
+                                              chunk=chunk,
+                                              solve_method=method))
     print("captured; srer:", [round(x, 3) for x in res.srer])
 
     args = captured["args"]
     st = captured["statics"]
     (s, fm_current, am_current, buckets, centers, h, do_update,
-     det, std_det, n_valid) = args
+     det, std_det, n_valid) = args  # noqa: F841 (n_valid reused below)
     geom = st["geom"]
     print("geom:", geom, "bucket sizes:", [b[0].shape[0] for b in buckets])
 
@@ -131,8 +138,8 @@ def main():
 
     def full_step(state):
         fmc, amc = state
-        out = orig(
-            s, fmc, amc, buckets, centers, h, do_update, det, std_det, **st)
+        out = orig(s, fmc, amc, buckets, centers, h, do_update, det,
+                   std_det, n_valid, **st)
         return out[4], out[1]          # fm_cur, am_f
 
     print(f"chained full _adapt_full: {chain_time(full_step, (fm_current, am_current)):7.1f}ms")

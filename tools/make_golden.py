@@ -148,9 +148,15 @@ def _flat(x):
         return np.array([float(np.ravel(v)[0]) if np.size(v) else 0.0
                          for v in x.ravel()])
     return np.ravel(x).astype(np.float64)
+def _amps(d):
+    # the reference engine assigns `DetComponents[i].amplitudes`
+    # (functions.py:409) — a NEW attribute; the constructor-initialized
+    # `.ak` alias (structs.py "self.ak = amplitudes") stays at its empty
+    # default forever.  Read the attribute the engine actually writes.
+    return getattr(d, "amplitudes", d.ak)
 def _lens(attr):
-    return max((len(_flat(getattr(d, attr))) for d in Det if d.isVoiced),
-               default=0)
+    return max((len(_flat(_amps(d) if attr == "ak" else getattr(d, attr)))
+                for d in Det if d.isVoiced), default=0)
 Kmax_seen = max(_lens("ak"), _lens("frange"), _lens("pk"))
 det_ti = np.array([d.ti if np.ndim(d.ti) == 0 else -1 for d in Det], dtype=np.int64)
 det_sp = np.array([bool(d.isSpeech) for d in Det])
@@ -162,7 +168,7 @@ det_pk = np.zeros((No_ti, Kmax_seen))
 for i, d in enumerate(Det):
     if d.isVoiced:
         det_a0[i] = np.ravel(d.a0)[0] if np.size(d.a0) else 0.0
-        ak = _flat(d.ak); fr = _flat(d.frange); pk = _flat(d.pk)
+        ak = _flat(_amps(d)); fr = _flat(d.frange); pk = _flat(d.pk)
         det_ak[i, :len(ak)] = ak
         det_fr[i, :len(fr)] = fr
         det_pk[i, :len(pk)] = pk
