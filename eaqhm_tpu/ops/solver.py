@@ -179,7 +179,7 @@ def iqhm_batch(s_win, o, wl, f0, K, fs, Kc, dtype=jnp.float64, method=None):
     return x[:, :Kc2], x[:, Kc2:]
 
 
-def repair_tracks(fm_win, am_win, o, wl):
+def repair_tracks(fm_win, am_win, o, wl, colmask=None):
     """Zero-gap repair of gathered track windows (functions.py:217-278).
 
     For each (frame, harmonic): inside the frame's actual window (+-wl),
@@ -187,45 +187,63 @@ def repair_tracks(fm_win, am_win, o, wl):
     nonzeros (constant extension at the edges); am is repaired at fm's zero
     positions.  Outside +-wl both are set to 0.
 
-    fm_win, am_win: [B, N, K]; o: [N]; wl: [B].  Returns repaired pair.
+    fm_win, am_win: [B, N, K]; o: [N]; wl: [B].  colmask: optional [B, K]
+    harmonics the caller will keep — when every kept in-window sample is
+    already nonzero (the common case once tracks are dense inside voiced
+    runs), the whole batch skips the scans via lax.cond and returns the
+    masked input unchanged (bit-identical to the scan path, which fills
+    nothing when there are no zeros).  Returns the repaired pair.
     """
     B, N, K = fm_win.shape
     dtype = fm_win.dtype
     inwin = (jnp.abs(o)[None, :, None] <= wl[:, None, None])     # [B, N, 1]
     nz = inwin & (fm_win != 0)
-    idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None],
-                           fm_win.shape)
 
-    # value-carrying associative scans replace take_along_axis gathers
-    # (measured: 4 big gathers ~4s vs 2 scans ~90ms per adaptation on TPU)
-    elems = (jnp.where(nz, idx, jnp.int32(-1)),
-             jnp.where(nz, fm_win, 0.0), jnp.where(nz, am_win, 0.0))
+    def identity(_):
+        return (jnp.where(inwin, fm_win, 0.0), jnp.where(inwin, am_win, 0.0))
 
-    def op_last(l, r):
-        """keep the later element if it is valid (prefix 'last nonzero')."""
-        t = r[0] >= 0
-        return tuple(jnp.where(t, rv, lv) for lv, rv in zip(l, r))
+    def scan_repair(_):
+        idx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :, None],
+                               fm_win.shape)
 
-    prev_i, prev_fm, prev_am = jax.lax.associative_scan(op_last, elems, axis=1)
-    # reverse=True flips, scans, flips back with the SAME op, so op_last in
-    # flipped coordinates yields the suffix 'first nonzero'
-    nxt_i, nxt_fm, nxt_am = jax.lax.associative_scan(op_last, elems, axis=1,
-                                                     reverse=True)
-    has_prev = prev_i >= 0
-    has_next = nxt_i >= 0
+        # value-carrying associative scans replace take_along_axis gathers
+        # (measured: 4 big gathers ~4s vs 2 scans ~90ms per adaptation on
+        # TPU)
+        elems = (jnp.where(nz, idx, jnp.int32(-1)),
+                 jnp.where(nz, fm_win, 0.0), jnp.where(nz, am_win, 0.0))
 
-    def fill(x, xp, xn):
-        denom = (nxt_i - prev_i).astype(dtype)
-        ok = denom != 0
-        g = jnp.where(ok, (idx - prev_i) / jnp.where(ok, denom, 1.0), 0.0)
-        interp = xp + (xn - xp) * g
-        out = jnp.where(nz, x,
-                        jnp.where(has_prev & has_next, interp,
-                                  jnp.where(has_prev, xp,
-                                            jnp.where(has_next, xn, 0.0))))
-        return jnp.where(inwin, out, 0.0)
+        def op_last(l, r):
+            """keep the later element if valid (prefix 'last nonzero')."""
+            t = r[0] >= 0
+            return tuple(jnp.where(t, rv, lv) for lv, rv in zip(l, r))
 
-    return (fill(fm_win, prev_fm, nxt_fm), fill(am_win, prev_am, nxt_am))
+        prev_i, prev_fm, prev_am = jax.lax.associative_scan(op_last, elems,
+                                                            axis=1)
+        # reverse=True flips, scans, flips back with the SAME op, so op_last
+        # in flipped coordinates yields the suffix 'first nonzero'
+        nxt_i, nxt_fm, nxt_am = jax.lax.associative_scan(op_last, elems,
+                                                         axis=1, reverse=True)
+        has_prev = prev_i >= 0
+        has_next = nxt_i >= 0
+
+        def fill(x, xp, xn):
+            denom = (nxt_i - prev_i).astype(dtype)
+            ok = denom != 0
+            g = jnp.where(ok, (idx - prev_i) / jnp.where(ok, denom, 1.0), 0.0)
+            interp = xp + (xn - xp) * g
+            out = jnp.where(nz, x,
+                            jnp.where(has_prev & has_next, interp,
+                                      jnp.where(has_prev, xp,
+                                                jnp.where(has_next, xn,
+                                                          0.0))))
+            return jnp.where(inwin, out, 0.0)
+
+        return (fill(fm_win, prev_fm, nxt_fm), fill(am_win, prev_am, nxt_am))
+
+    if colmask is None:
+        return scan_repair(0)
+    needs = jnp.any(inwin & (fm_win == 0) & colmask[:, None, :])
+    return jax.lax.cond(needs, scan_repair, identity, 0)
 
 
 def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
@@ -246,7 +264,7 @@ def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
     W = (N - 1) // 2
 
     fm_r, am_r = repair_tracks(fm_win.astype(dtype), am_win.astype(dtype),
-                               o, wl)
+                               o, wl, colmask=colmask_k)
     fm_r = fm_r * colmask_k[:, None, :]
     am_r = am_r * colmask_k[:, None, :]
 

@@ -57,10 +57,24 @@ class BatchGeometry:
     chunk: int = 64
     dp: int = 1          # data-parallel size
     mp: int = 1          # model-parallel size (frame/harmonic sharding)
+    # bucket lattice: ascending (W_t, K_t) tiers, last == (W, Kc).  Frames
+    # solve in the smallest tier whose bounds fit them (host-assigned; see
+    # make_tier_plan), so low-f0 presets don't pay the worst-case Kc on
+    # every frame (the per-utterance engine's tier idea, adapted to the
+    # traced batch path).  () means the single worst-case tier.
+    tiers: tuple = ()
+
+    @property
+    def tier_list(self) -> tuple:
+        return self.tiers if self.tiers else ((self.W, self.Kc),)
 
     @property
     def No_loc(self) -> int:
         return self.No // self.mp
+
+    @property
+    def n_chunks_loc(self) -> int:
+        return -(-self.No_loc // self.chunk)
 
     @property
     def Kc_pad(self) -> int:
@@ -95,71 +109,194 @@ def make_batch_geometry(fs: int, length: int, config: EaqhmConfig,
     # the uniform anchor grid must fit inside the padded length
     # (interpolate_tracks_anchors assembles (No-1)*step+1 samples)
     length = max(int(length), (No - 1) * step + 1)
+    tiers = _make_tiers(W, Kc, float(fs), config.pitch_periods)
     return BatchGeometry(fs=float(fs), length=int(length), step=step, No=No,
-                         W=W, Kc=Kc, chunk=chunk, dp=dp, mp=mp)
+                         W=W, Kc=Kc, chunk=chunk, dp=dp, mp=mp, tiers=tiers)
+
+
+# MXU-aligned harmonic-count lattice: M = 2(2K+1) = 4K+2 basis columns, so
+# K in {31, 47, 63, 95, 127} puts M at {126, 190, 254, 382, 510} — just
+# under the 128-lane tile boundaries instead of just over (K=32 -> M=130
+# spills into a second, 2%-utilized lane tile on every Gram/inverse GEMM).
+_K_LATTICE = (23, 31, 47, 63, 95, 127, 191, 255)
+
+
+def _make_tiers(W: int, Kc: int, fs: float, pitch_periods: int) -> tuple:
+    """2-3 tier (W_t, K_t) lattice under the worst-case (W, Kc) bound.
+
+    Frames in a sub-tier have K = int(Fmax/f0) <= K_t, i.e. f0 above
+    Fmax/(K_t+1), which also bounds their window half-length
+    wl < max(120, pp2*fs*(K_t+1)/Fmax) (reference functions.py:191).
+    """
+    Fmax = fs / 2 - 200
+    pp2 = pitch_periods / 2
+
+    def tier_W(K_t):
+        w = max(120, int(np.ceil(pp2 * fs * (K_t + 1) / Fmax)))
+        return min(W, -(-w // 8) * 8)
+
+    subs = [t for t in _K_LATTICE if t < Kc][-2:]
+    tiers = tuple((tier_W(t), t) for t in subs) + ((W, Kc),)
+    return tiers
+
+
+def make_tier_plan(geom: BatchGeometry, voiced, wl_frame, K_frame):
+    """Host-side tier assignment for one utterance -> (order, chunk_tier).
+
+    voiced/wl_frame/K_frame: [No] numpy arrays.  Within each model shard's
+    local frame range, frames are stably sorted by tier id (non-analyzed
+    frames carry a sentinel and sort last, so their chunks are skipped
+    entirely); each chunk of the sorted order then runs in ONE tier — the
+    largest present — via lax.cond inside the device stage.
+
+    Returns order [No] int32 (local indices per shard, concatenated) and
+    chunk_tier [mp * n_chunks_loc] int32 (-1 = chunk has nothing to solve).
+    """
+    tiers = geom.tier_list
+    nt = len(tiers)
+    sent = nt                                    # sentinel: not analyzed
+    tsel = np.full(geom.No, sent, np.int32)
+    for i in reversed(range(nt)):
+        W_t, K_t = tiers[i]
+        fits = (K_frame <= K_t) & (wl_frame <= W_t)
+        tsel = np.where(voiced & fits, i, tsel)
+    tsel = np.where(voiced & (tsel == sent), nt - 1, tsel)
+
+    No_loc, chunk = geom.No_loc, geom.chunk
+    n_ch = geom.n_chunks_loc
+    order = np.empty(geom.No, np.int32)
+    ct = np.empty(geom.mp * n_ch, np.int32)
+    for m in range(geom.mp):
+        loc = tsel[m * No_loc:(m + 1) * No_loc]
+        o = np.argsort(loc, kind="stable").astype(np.int32)
+        order[m * No_loc:(m + 1) * No_loc] = o
+        st = np.full(n_ch * chunk, sent, np.int32)
+        st[:No_loc] = loc[o]
+        st = st.reshape(n_ch, chunk)
+        live = st < sent
+        mx = np.where(live, st, -1).max(axis=1)
+        ct[m * n_ch:(m + 1) * n_ch] = mx
+    return order, ct
 
 
 # --------------------------------------------------------------------------
 # local (per model-shard) analysis stages
 # --------------------------------------------------------------------------
 
-def _local_iqhm(s, centers_l, f0_l, K_l, wl_l, vo_l, geom: BatchGeometry):
+def _unsort(order_l, xs):
+    """Map sorted-row outputs back to grid order: grid[j] = rows[inv[j]]."""
+    inv = jnp.zeros_like(order_l).at[order_l].set(
+        jnp.arange(order_l.shape[0], dtype=order_l.dtype))
+    return tuple(x[inv] for x in xs)
+
+
+def _local_iqhm(s, centers_l, f0_l, K_l, wl_l, vo_l, order_l, ct_l,
+                geom: BatchGeometry):
     """Adaptation-0 solves for this shard's frames (reference
-    functions.py:183-196), chunked for VMEM.  Returns
-    (a0_val, am, fm, ph, acc) on the local frame grid [Nl, Kc_pad]."""
+    functions.py:183-196), tier-sorted and chunked for VMEM.
+
+    order_l/ct_l: the host tier plan (make_tier_plan) — frames sorted by
+    tier; each chunk solves once, in its chunk_tier's (W_t, K_t) geometry
+    (unanalyzed chunks skip entirely).  Returns (a0_val, am, fm, ph, acc)
+    on the local frame grid [Nl, Kc_pad]."""
     dtype = s.dtype
-    W, Kc, fs, chunk = geom.W, geom.Kc, geom.fs, geom.chunk
-    o = jnp.arange(-W, W + 1)
+    Kc, fs, chunk = geom.Kc, geom.fs, geom.chunk
+    L = s.shape[0]
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    c_s = centers_l[order_l]
+    f0_s = f0_l[order_l]
+    K_s = K_l[order_l]
+    wl_s = jnp.maximum(wl_l[order_l], 1)
+    vo_s = vo_l[order_l]
     (c_ch, f0_ch, K_ch, wl_ch), Nl = engine_mod._pad_chunks(
-        [centers_l, f0_l, K_l, jnp.maximum(wl_l, 1)], chunk)
+        [c_s, f0_s, K_s, wl_s], chunk)
 
-    def do_chunk(args):
-        c, f0c, Kc_, wlc = args
-        s_win = s[jnp.clip(c[:, None] + o[None, :], 0, s.shape[0] - 1)]
-        return iqhm_batch(s_win, o, wlc, f0c, Kc_, fs, Kc, dtype=dtype)
+    amps = jnp.zeros((c_ch.shape[0], chunk, 2 * Kc + 1), cdtype)
+    for t, (W_t, K_t) in enumerate(geom.tier_list):
+        o = jnp.arange(-W_t, W_t + 1)
 
-    amps, _ = jax.lax.map(do_chunk, (c_ch, f0_ch, K_ch, wl_ch))
+        def do_chunk(args, _t=t, _o=o, _Kt=K_t):
+            ci, c, f0c, Kci, wlc = args
+
+            def live(_):
+                s_win = s[jnp.clip(c[:, None] + _o[None, :], 0, L - 1)]
+                a, _ = iqhm_batch(s_win, _o, wlc, f0c, Kci, fs, _Kt,
+                                  dtype=dtype)
+                return jnp.pad(a, ((0, 0), (Kc - _Kt, Kc - _Kt)))
+
+            def empty(_):
+                return jnp.zeros((c.shape[0], 2 * Kc + 1), cdtype)
+
+            return jax.lax.cond(ci == _t, live, empty, 0)
+
+        amps = amps + jax.lax.map(do_chunk, (ct_l, c_ch, f0_ch, K_ch, wl_ch))
     amps = amps.reshape(-1, 2 * Kc + 1)[:Nl]
     # shared acceptance core (engine.iqhm_accept — single source for both
-    # the per-utterance and batched paths)
-    out = engine_mod.iqhm_accept(amps, vo_l, f0_l, Kc, dtype)
+    # the per-utterance and batched paths), on sorted rows, then unsort
+    out = engine_mod.iqhm_accept(amps, vo_s, f0_s, Kc, dtype)
+    out = _unsort(order_l, out)
     return tuple(_pad_k(x, geom.Kc_pad) if x.ndim == 2 else x for x in out)
 
 
 def _local_eaqhm(s, fm_current, am_current, centers_l, wl_l, vo_l,
-                 dead_center, h, do_update, geom: BatchGeometry):
+                 dead_center, h, do_update, order_l, ct_l,
+                 geom: BatchGeometry):
     """Adaptation >=1 solves for this shard's frames (reference
-    functions.py:198-324 incl. the dead-track bootstrap overlay)."""
+    functions.py:198-324 incl. the dead-track bootstrap overlay),
+    tier-sorted like _local_iqhm.  Tier-validity invariant: a frame
+    assigned tier t (from its adaptation-0 K bound) never carries live
+    harmonics above K_t, so the tier's column capacity is exact."""
     dtype = s.dtype
-    W, Kc, fs, chunk = geom.W, geom.Kc, geom.fs, geom.chunk
+    Kc, fs, chunk = geom.Kc, geom.fs, geom.chunk
     L = s.shape[0]
-    o = jnp.arange(-W, W + 1)
+    cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
 
     fm_k = fm_current[:, :Kc]
     am_k = am_current[:, :Kc]
-    fmc = fm_k[centers_l]                                     # [Nl, Kc]
-    mask_k = (fmc != 0) & vo_l[:, None]
-    dead = vo_l & ~jnp.any(mask_k, axis=1)
-    mask_k = jnp.where(dead[:, None], jnp.arange(Kc)[None, :] == 0, mask_k)
+    c_s = centers_l[order_l]
+    wl_s = jnp.maximum(wl_l[order_l], 1)
+    vo_s = vo_l[order_l]
+    fmc_s = fm_k[c_s]                                         # [Nl, Kc]
+    mask_s = (fmc_s != 0) & vo_s[:, None]
+    dead_s = vo_s & ~jnp.any(mask_s, axis=1)
+    mask_s = jnp.where(dead_s[:, None], jnp.arange(Kc)[None, :] == 0, mask_s)
 
     (c_ch, wl_ch, dead_ch, mk_ch), Nl = engine_mod._pad_chunks(
-        [centers_l, jnp.maximum(wl_l, 1), dead, mask_k], chunk)
+        [c_s, wl_s, dead_s, mask_s], chunk)
 
-    def do_chunk(args):
-        c, wlc, dd, mk = args
-        rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
-        fm_win, am_win = engine_mod.dead_overlay_windows(
-            fm_k, am_k, rows, dead_center, dd, o, Kc)
-        return eaqhm_batch(s[rows], fm_win, am_win, o, wlc, mk, fs,
-                           dtype=dtype)
+    amps = jnp.zeros((c_ch.shape[0], chunk, 2 * Kc + 1), cdtype)
+    fmis = jnp.zeros((c_ch.shape[0], chunk, Kc), dtype)
+    for t, (W_t, K_t) in enumerate(geom.tier_list):
+        o = jnp.arange(-W_t, W_t + 1)
 
-    amps, slopes, fmis = jax.lax.map(
-        do_chunk, (c_ch, wl_ch, dead_ch, mk_ch))
+        def do_chunk(args, _t=t, _o=o, _Kt=K_t):
+            ci, c, wlc, dd, mk = args
+
+            def live(_):
+                rows = jnp.clip(c[:, None] + _o[None, :], 0, L - 1)
+                fm_win, am_win = engine_mod.dead_overlay_windows(
+                    fm_k[:, :_Kt], am_k[:, :_Kt], rows, dead_center, dd,
+                    _o, _Kt)
+                a, _sl, fmi = eaqhm_batch(s[rows], fm_win, am_win, _o, wlc,
+                                          mk[:, :_Kt], fs, dtype=dtype)
+                return (jnp.pad(a, ((0, 0), (Kc - _Kt, Kc - _Kt))),
+                        jnp.pad(fmi, ((0, 0), (0, Kc - _Kt))))
+
+            def empty(_):
+                return (jnp.zeros((c.shape[0], 2 * Kc + 1), cdtype),
+                        jnp.zeros((c.shape[0], Kc), dtype))
+
+            return jax.lax.cond(ci == _t, live, empty, 0)
+
+        a_t, f_t = jax.lax.map(do_chunk, (ct_l, c_ch, wl_ch, dead_ch, mk_ch))
+        amps = amps + a_t
+        fmis = fmis + f_t
     amps = amps.reshape(-1, 2 * Kc + 1)[:Nl]
     fmis = fmis.reshape(-1, Kc)[:Nl]
-    # shared acceptance core (engine.eaqhm_accept)
-    out = engine_mod.eaqhm_accept(amps, fmis, fmc, dead, h, do_update,
-                                  vo_l, Kc)
+    # shared acceptance core (engine.eaqhm_accept), sorted rows -> unsort
+    out = engine_mod.eaqhm_accept(amps, fmis, fmc_s, dead_s, h, do_update,
+                                  vo_s, Kc)
+    out = _unsort(order_l, out)
     return tuple(_pad_k(x, geom.Kc_pad) if x.ndim == 2 else x for x in out)
 
 
@@ -193,7 +330,8 @@ def make_batch_step(mesh: Optional[Mesh], geom: BatchGeometry, adapt0: bool):
 
     Inputs (global views):
       s_b [B, L]; det_b [B, L]; len_b [B] (true lengths, for masked SRER);
-      vo_b [B, No]; wl_b [B, No]; and
+      vo_b [B, No]; wl_b [B, No]; order_b [B, No]; ct_b [B, mp*n_chunks_loc]
+      (the make_tier_plan outputs); and
       adapt0: f0_b [B, No], K_b [B, No]
       else:   fm_b, am_b [B, L, Kc_pad]; h_b [B]; do_update_b [B]
     Returns (s_rec [B, L], fm_cur, am_f [B, L, Kc_pad], srer_b [B],
@@ -201,40 +339,45 @@ def make_batch_step(mesh: Optional[Mesh], geom: BatchGeometry, adapt0: bool):
     """
     No, No_loc = geom.No, geom.No_loc
     Kp, Kc_loc = geom.Kc_pad, geom.Kc_loc
+    n_ch = geom.n_chunks_loc
     L = geom.length
     centers_full = np.minimum(
         np.arange(No) * geom.step, L - 1).astype(np.int32)  # ti-1 grid
 
-    def local_step(midx, s, det, ulen, vo, wl, *state):
+    def local_step(midx, s, det, ulen, vo, wl, order, ct, *state):
         """Everything for one utterance on one model shard."""
         centers = jnp.asarray(centers_full)
         c_l = jax.lax.dynamic_slice(centers, (midx * No_loc,), (No_loc,))
         vo_l = jax.lax.dynamic_slice(vo, (midx * No_loc,), (No_loc,))
         wl_l = jax.lax.dynamic_slice(wl, (midx * No_loc,), (No_loc,))
+        or_l = jax.lax.dynamic_slice(order, (midx * No_loc,), (No_loc,))
+        ct_l = jax.lax.dynamic_slice(ct, (midx * n_ch,), (n_ch,))
         if adapt0:
             f0, K = state
             f0_l = jax.lax.dynamic_slice(f0, (midx * No_loc,), (No_loc,))
             K_l = jax.lax.dynamic_slice(K, (midx * No_loc,), (No_loc,))
-            parts = _local_iqhm(s, c_l, f0_l, K_l, wl_l, vo_l, geom)
+            parts = _local_iqhm(s, c_l, f0_l, K_l, wl_l, vo_l, or_l, ct_l,
+                                geom)
         else:
             fm_cur, am_cur, h, do_update = state
             fmc_all = fm_cur[centers][:, :geom.Kc]
             dead_all = vo & ~jnp.any((fmc_all != 0) & vo[:, None], axis=1)
             dead_center = jnp.zeros(L, bool).at[centers].set(dead_all)
             parts = _local_eaqhm(s, fm_cur, am_cur, c_l, wl_l, vo_l,
-                                 dead_center, h, do_update, geom)
+                                 dead_center, h, do_update, or_l, ct_l,
+                                 geom)
         return parts
 
     dspec = P("data")
 
-    def step_global(s_b, det_b, len_b, vo_b, wl_b, *state_b):
-        def shard_fn(s_s, det_s, len_s, vo_s, wl_s, *state_s):
+    def step_global(s_b, det_b, len_b, vo_b, wl_b, order_b, ct_b, *state_b):
+        def shard_fn(s_s, det_s, len_s, vo_s, wl_s, or_s, ct_s, *state_s):
             midx = jax.lax.axis_index("model") if geom.mp > 1 else 0
             # per-utterance local solves (vmap over the local batch)
             with jax.default_matmul_precision("highest"):
                 solves = jax.vmap(
                     lambda *a: local_step(midx, *a))(
-                    s_s, det_s, len_s, vo_s, wl_s, *state_s)
+                    s_s, det_s, len_s, vo_s, wl_s, or_s, ct_s, *state_s)
                 # anchor tensors are small: gather every shard's frames
                 if geom.mp > 1:
                     solves = tuple(
@@ -285,8 +428,10 @@ def make_batch_step(mesh: Optional[Mesh], geom: BatchGeometry, adapt0: bool):
             return s_rec, fm_full, am_full, srer_b, srer_mean
 
         if mesh is None:
-            return shard_fn(s_b, det_b, len_b, vo_b, wl_b, *state_b)
+            return shard_fn(s_b, det_b, len_b, vo_b, wl_b, order_b, ct_b,
+                            *state_b)
         base = (P("data", None), P("data", None), dspec,
+                P("data", None), P("data", None),
                 P("data", None), P("data", None))
         if adapt0:
             # state = (f0 [B, No], K [B, No])
@@ -299,7 +444,7 @@ def make_batch_step(mesh: Optional[Mesh], geom: BatchGeometry, adapt0: bool):
                      P("data", None, None), dspec, P())
         return shard_map(shard_fn, mesh=mesh, in_specs=in_specs,
                          out_specs=out_specs, check_vma=False)(
-            s_b, det_b, len_b, vo_b, wl_b, *state_b)
+            s_b, det_b, len_b, vo_b, wl_b, order_b, ct_b, *state_b)
 
     return jax.jit(step_global)
 
@@ -409,10 +554,20 @@ def analyze_batch(signals: Sequence[np.ndarray], fs: int,
         vidx = np.nonzero(voiced)[0]
         h0_np[b] = f0_frame[vidx[-1]] if len(vidx) else 0.0   # stale-f0 quirk
 
+    # host tier plan (fixed across adaptations: membership derives from the
+    # adaptation-0 per-frame bounds, like the per-utterance engine's buckets)
+    order_np = np.zeros((B, geom.No), np.int32)
+    ct_np = np.zeros((B, geom.mp * geom.n_chunks_loc), np.int32)
+    for b in range(B):
+        order_np[b], ct_np[b] = make_tier_plan(
+            geom, vo_np[b], wl_np[b], Kf_np[b])
+
     det_b = jnp.asarray(det_np, dtype)
     len_b = jnp.asarray(lens, jnp.int32)
     vo_b = jnp.asarray(vo_np)
     wl_b = jnp.asarray(wl_np)
+    order_b = jnp.asarray(order_np)
+    ct_b = jnp.asarray(ct_np)
 
     step0 = make_batch_step(mesh, geom, adapt0=True)
     stepN = make_batch_step(mesh, geom, adapt0=False)
@@ -424,7 +579,7 @@ def analyze_batch(signals: Sequence[np.ndarray], fs: int,
     fm_cur = am_cur = None
     for a in range(config.max_adaptations + 1):
         if a == 0:
-            out = step0(s_b, det_b, len_b, vo_b, wl_b,
+            out = step0(s_b, det_b, len_b, vo_b, wl_b, order_b, ct_b,
                         jnp.asarray(f0f_np, dtype), jnp.asarray(Kf_np))
         else:
             h_b = jnp.asarray(h0_np / (a + 1), dtype)
@@ -432,8 +587,8 @@ def analyze_batch(signals: Sequence[np.ndarray], fs: int,
             # reference gates the fm update on f0_stale > f0min (global per
             # utterance); utterances failing it keep fm (do_update False)
             do_upd = jnp.asarray((h0_np > f0min))
-            out = stepN(s_b, det_b, len_b, vo_b, wl_b, fm_cur, am_cur,
-                        h_b, do_upd)
+            out = stepN(s_b, det_b, len_b, vo_b, wl_b, order_b, ct_b,
+                        fm_cur, am_cur, h_b, do_upd)
         s_rec, fm_new, am_new, srer_b, srer_mean = out
         srer_np = np.asarray(srer_b, np.float64)
         srer_hist.append(srer_np)

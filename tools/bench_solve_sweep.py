@@ -147,8 +147,36 @@ def main():
                 return jax.lax.map(do_chunk, (c_ch, wl_ch, mk_ch))
             return run
 
+        def st_gather(s_win, fm_win, am_win, wlc, mk):
+            # the s[rows]/fm[rows]/am[rows] window gathers alone
+            return (s_win.sum(), fm_win.sum(), am_win.sum())
+
         def st_repair(s_win, fm_win, am_win, wlc, mk):
             return repair_tracks(fm_win, am_win, o, wlc)
+
+        def st_repair_t(s_win, fm_win, am_win, wlc, mk):
+            # layout experiment: scan along axis 0 of [N, B*K] (full
+            # (8,128)-tile utilization; K=32 on lanes wastes 3/4 of each
+            # vector register in the [B, N, K] layout)
+            B, N_, K_ = fm_win.shape
+            fm2 = jnp.transpose(fm_win, (1, 0, 2)).reshape(N_, B * K_)
+            am2 = jnp.transpose(am_win, (1, 0, 2)).reshape(N_, B * K_)
+            inwin = (jnp.abs(o)[:, None] <= wlc[None, :, None]
+                     .repeat(K_, 2).reshape(1, B * K_))
+            nz = inwin & (fm2 != 0)
+            idx = jnp.broadcast_to(
+                jnp.arange(N_, dtype=jnp.int32)[:, None], fm2.shape)
+            elems = (jnp.where(nz, idx, jnp.int32(-1)),
+                     jnp.where(nz, fm2, 0.0), jnp.where(nz, am2, 0.0))
+
+            def op_last(l, r):
+                t = r[0] >= 0
+                return tuple(jnp.where(t, rv, lv) for lv, rv in zip(l, r))
+
+            p = jax.lax.associative_scan(op_last, elems, axis=0)
+            q = jax.lax.associative_scan(op_last, elems, axis=0,
+                                         reverse=True)
+            return p, q
 
         def st_basis(s_win, fm_win, am_win, wlc, mk):
             return build_basis(s_win, fm_win, am_win, o, wlc, mk, FS)
@@ -173,7 +201,9 @@ def main():
             return build_gram(E, w, s_win, cm)[:2]
 
         variants = {
+            "gather": st_gather,
             "repair": st_repair,
+            "repair_t": st_repair_t,
             "basis": st_basis,
             "gram": st_gram,
             "bi_highest": mk_full(lambda R, b: solve_bi(R, b, HP, 2)),
