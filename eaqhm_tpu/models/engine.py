@@ -596,6 +596,14 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         geom = []
         for i, tk in enumerate(tiers):
             gi = voiced_idx[tsel == i]
+            if len(gi) == 0:
+                # unoccupied tier: drop it from the jit geometry — the
+                # compiled program shrinks (warmup) and its empty-chunk
+                # cond iterations disappear (runtime).  The compile cache
+                # keys on the occupied-tier tuple, so utterances sharing a
+                # length page AND occupancy pattern still share kernels
+                # (occupancy patterns per preset are few in practice).
+                continue
             buckets.append((gi, cap))
             geom.append((tW[i], tk))
     else:

@@ -268,10 +268,24 @@ def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
     fm_r = fm_r * colmask_k[:, None, :]
     am_r = am_r * colmask_k[:, None, :]
 
-    # centered cumulative phase: psi(t) = C(t) - C(mid), C = inclusive cumsum
-    csum = jnp.cumsum(fm_r, axis=1)
-    psi = csum - csum[:, W:W + 1, :]
-    phase = (2 * jnp.pi / fs) * psi
+    # centered cumulative phase: psi(t) = C(t) - C(mid), C = inclusive
+    # cumsum.  |C| reaches fm*N ~ 2e6, where f32 cumsum accumulates
+    # ~sqrt(N)*eps*|C| ~ 1 Hz-sample of error (~4e-4 rad after scaling) —
+    # the dominant f32-vs-f64 SRER term.  Exact-integer split: fm = q + r
+    # with q = round(fm) an integer; integer partial sums stay < 2^24 so
+    # cumsum(q) is EXACT in f32, and its phase contribution reduces mod fs
+    # exactly; the residual cumsum (|r| <= 0.5) carries negligible error.
+    fm_q = jnp.round(fm_r)
+    fm_res = fm_r - fm_q
+    cq = jnp.cumsum(fm_q, axis=1)
+    cr = jnp.cumsum(fm_res, axis=1)
+    psi_q = cq - cq[:, W:W + 1, :]
+    psi_r = cr - cr[:, W:W + 1, :]
+
+    def mk_phase(pq, pr):
+        return (2 * jnp.pi / fs) * (jnp.mod(pq, fs) + pr)
+
+    phase = mk_phase(psi_q, psi_r)
 
     am_mid = am_r[:, W:W + 1, :]
     rho = (eps + am_r) / (am_mid + eps)
@@ -283,10 +297,16 @@ def eaqhm_batch(s_win, fm_win, am_win, o, wl, colmask_k, fs,
     #   phase_neg(t) = (2pi/fs) * (psi(N-2-t) + fm(mid))
     # (one-sample shift vs a naive conjugate-flip because cumsum of a
     # reversed sequence != reversed cumsum).
-    fm_mid = fm_r[:, W:W + 1, :]
-    psi_ext = jnp.concatenate([-csum[:, W:W + 1, :],        # psi(-1) = -C(mid)
-                               psi[:, :-1, :]], axis=1)
-    neg_phase = (2 * jnp.pi / fs) * (jnp.flip(psi_ext, axis=1) + fm_mid)
+    fm_mid_q = fm_q[:, W:W + 1, :]
+    fm_mid_r = fm_res[:, W:W + 1, :]
+
+    def ext_flip(pq_or_pr, c_mid):
+        ext = jnp.concatenate([-c_mid, pq_or_pr[:, :-1, :]], axis=1)
+        return jnp.flip(ext, axis=1)
+
+    neg_phase = mk_phase(
+        ext_flip(psi_q, cq[:, W:W + 1, :]) + fm_mid_q,
+        ext_flip(psi_r, cr[:, W:W + 1, :]) + fm_mid_r)
     neg = (jnp.flip(rho, axis=1)
            * jnp.exp(1j * neg_phase.astype(dtype)).astype(cdtype))
     neg = neg * colmask_k[:, None, :]

@@ -1,8 +1,13 @@
 """SWIPE' and VAD vs golden reference outputs on SA19.WAV."""
+import jax
 import numpy as np
 import pytest
 
 from eaqhm_tpu.models import swipe, vad
+
+# f64 (CPU parity tier) admits exact assertions; the f32 TPU tier
+# (EAQHM_TPU_TESTS=1) keeps documented threshold-straddle tolerances
+_X64 = bool(jax.config.jax_enable_x64)
 
 
 @pytest.fixture(scope="module")
@@ -53,12 +58,19 @@ class TestVad:
         np.testing.assert_array_equal(ti, golden["vad_ti"])
         sp = np.asarray(sp)
         vo = np.asarray(vo)
-        # the 30 Hz high-pass is arithmetic-order sensitive (see test_ops);
-        # allow a tiny number of threshold-straddling flag flips
         sp_flips = (sp != golden["vad_isSpeech"]).sum()
         vo_flips = (vo != golden["vad_isVoiced"]).sum()
-        assert sp_flips <= 2, sp_flips
-        assert vo_flips <= 2, vo_flips
+        if _X64:
+            # f64 path: flags are bit-identical to the reference (verified
+            # 0 flips on SA19; round-3 root-cause of the former <=2-flip
+            # carve-out — only the f32 device path straddles thresholds)
+            assert sp_flips == 0, sp_flips
+            assert vo_flips == 0, vo_flips
+        else:
+            # f32 (EAQHM_TPU_TESTS=1): the 30 Hz elliptic high-pass is
+            # arithmetic-order sensitive near the -60 dB energy threshold
+            assert sp_flips <= 2, sp_flips
+            assert vo_flips <= 2, vo_flips
 
     def test_full_waveform_fixup_all_voiced(self, sa19, golden):
         import jax.numpy as jnp

@@ -92,7 +92,7 @@ def main():
                 parts.append(engine._eaqhm_bucket(
                     s, fm_current, am_current, c_b, wl_b, dd_b, mk_b,
                     dead_center, h, do_update, W=Wb, Kc=Kb, fs=fs,
-                    chunk=chunk))
+                    chunk=chunk, method=method))
                 off += nb
             return engine._combine_buckets(
                 parts, [b[0] for b in buckets], No, Kcm, dtype)
@@ -147,7 +147,8 @@ def main():
     def ana_step(state):
         fmc, amc = state
         a0_v, am_v, fm_v, ph_v, acc_v = analysis_only(
-            s, fmc, amc, buckets, centers, h, do_update, det, std_det, **st)
+            s, fmc, amc, buckets, centers, h, do_update, det, std_det,
+            n_valid, **st)
         # cheap feedback keeping shapes [L, Kcm]
         upd = jnp.zeros_like(fmc).at[centers].set(jnp.where(acc_v, fm_v, 0.0))
         upd_a = jnp.zeros_like(amc).at[centers].set(
