@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", action="store_true",
                    help="print a JSON result summary")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--progress", action="store_true",
+                   help="live progress bar over adaptations / corpus files "
+                        "(reference loadingScreen, functions.py:173-181)")
     p.add_argument("--plots", default=None, metavar="DIR",
                    help="write before/after spectrogram + time-domain PNGs "
                         "(reference plotGraphs, main.py:18-42)")
@@ -67,7 +70,8 @@ def main(argv=None) -> int:
         gender=gender, step=args.step, max_adaptations=args.max_adaptations,
         pitch_periods=args.pitch_periods, analysis_window=args.analysis_window,
         full_waveform=not args.no_full_waveform, fc=args.fc,
-        partials=args.partials, dtype=args.dtype)
+        partials=args.partials, dtype=args.dtype,
+        loading_screen=args.progress)
 
     if args.corpus:
         import glob

@@ -71,6 +71,12 @@ class EaqhmConfig:
     # frames per lax.map chunk in the batched LS stages (VMEM/HBM working
     # set vs scan-iteration latency trade-off)
     chunk: int = 128
+    # progress-bar UX: the reference's `loadingScreen` tqdm bars over the
+    # frame/interpolation loops (functions.py:173-181,343-381).  Those loops
+    # are single device dispatches here, so the analogue is a live bar over
+    # the adaptation loop (analyze) and over utterances (corpus drivers),
+    # with SRER shown as it lands.  Falls back to plain prints without tqdm.
+    loading_screen: bool = False
 
     @property
     def pitch_limits(self) -> Tuple[float, float]:

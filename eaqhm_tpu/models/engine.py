@@ -478,9 +478,12 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
                 "Can't interpolate f0 grid: query time "
                 f"{t_last:.6f}s exceeds last pitch row {t_swipe_last:.6f}s "
                 "(reference getLinear raise, functions.py:676-677)")
+    stage_t = {}
+    t_s = time.time()
     with jax.profiler.TraceAnnotation("eaqhm/pitch"):
         f0s, f0_grid = _pitch_fn(plan, grid_step, Lpad)(s)
         f0_grid_np = np.asarray(f0_grid)
+    stage_t["pitch"] = time.time() - t_s
 
     Fmax = int(fs / 2 - 200)
     if config.partials > 0:
@@ -491,6 +494,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         Kmax = int(round(Fmax / f0_grid_np[:Ng_true, 1].min()) + 10)
 
     # ---- VAD (host f64; exact reference parity) + fullWaveform fixup ----
+    t_s = time.time()
     vti, v_sp, v_vo, frame_step = vad_mod.voiced_unvoiced_frames_host(
         s_np, fs, config.is_male,
         replicate_quirks=config.replicate_quirks)
@@ -508,6 +512,8 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     v_sp_np = np.asarray(v_sp)
     std_det = float(np.std(det))
     det_j = jnp.asarray(np.pad(det, (0, Lpad - length)), dtype)
+    stage_t["vad"] = time.time() - t_s
+    t_s = time.time()
 
     # ---- frame geometry (host; static shapes for jit) ----
     # anchor/scatter grid spans the padded length (static shapes); frames
@@ -636,28 +642,30 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         pad = n - len(gi)
         return np.concatenate([vals, np.full(pad, fill, vals.dtype)])
 
-    def bucket_args0():
-        # padding entries: dump frame index No_pad, dummy center 0, wl 0
-        # (zero window -> identity solve), K 0 (no live columns)
-        return tuple(
-            (jnp.asarray(_padded(gi, gi, No_pad, n)),
-             jnp.asarray(_padded(gi, centers[gi], 0, n)),
-             jnp.asarray(_padded(gi, f0_frame[gi], 100.0, n), dtype),
-             jnp.asarray(_padded(gi, K_frame[gi], 0, n)),
-             jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
-            for gi, n in buckets)
-
-    def bucket_args():
-        return tuple(
-            (jnp.asarray(_padded(gi, gi, No_pad, n)),
-             jnp.asarray(_padded(gi, centers[gi], 0, n)),
-             jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
-            for gi, n in buckets)
+    # device bucket tensors are identical across adaptations: build + upload
+    # ONCE (each jnp.asarray is a separate host->device transfer through the
+    # tunnel; re-uploading ~10 arrays per adaptation cost ~20 ms each step)
+    bucket_args0 = tuple(
+        (jnp.asarray(_padded(gi, gi, No_pad, n)),
+         jnp.asarray(_padded(gi, centers[gi], 0, n)),
+         jnp.asarray(_padded(gi, f0_frame[gi], 100.0, n), dtype),
+         jnp.asarray(_padded(gi, K_frame[gi], 0, n)),
+         jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
+        for gi, n in buckets)
+    # padding entries: dump frame index No_pad, dummy center 0, wl 0
+    # (zero window -> identity solve), K 0 (no live columns)
+    bucket_argsN = tuple(
+        (jnp.asarray(_padded(gi, gi, No_pad, n)),
+         jnp.asarray(_padded(gi, centers[gi], 0, n)),
+         jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
+        for gi, n in buckets)
 
     geom = tuple(geom)
     centers_j = jnp.asarray(centers)
     n_valid = jnp.asarray(length, jnp.int32)
+    std_det_j = jnp.asarray(std_det, dtype)
     method = None if config.solve_method == "auto" else config.solve_method
+    stage_t["host_geometry"] = time.time() - t_s
 
     srer: List[float] = []
     best = {}
@@ -665,21 +673,27 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     timings = {}
     metrics: List[dict] = []
 
+    # loadingScreen analogue (reference functions.py:173-181): live bar over
+    # the adaptation loop with the SRER trajectory as it lands
+    from eaqhm_tpu.utils.progress import progress_bar
+    bar = progress_bar(total=config.max_adaptations + 1, desc="adaptations",
+                       enabled=config.loading_screen)
+
     for a in range(config.max_adaptations + 1):
         t_a = time.time()
         with jax.profiler.TraceAnnotation(f"eaqhm/adaptation_{a}"):
             if a == 0:
                 (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt0_full(
-                    s, bucket_args0(), centers_j, det_j,
-                    jnp.asarray(std_det, dtype), n_valid,
+                    s, bucket_args0, centers_j, det_j,
+                    std_det_j, n_valid,
                     geom=geom, fs=float(fs), chunk=fplan.chunk, length=Lpad,
                     step=step, No=No_pad, method=method)
             else:
                 h = f0_stale / (a + 1)
                 (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer_d) = _adapt_full(
-                    s, fm_cur, am_cur, bucket_args(), centers_j,
+                    s, fm_cur, am_cur, bucket_argsN, centers_j,
                     jnp.asarray(h, dtype), bool(f0_stale > f0min), det_j,
-                    jnp.asarray(std_det, dtype), n_valid,
+                    std_det_j, n_valid,
                     geom=geom, fs=float(fs), chunk=fplan.chunk, length=Lpad,
                     step=step, No=No_pad, method=method)
             am_cur = am_f
@@ -692,6 +706,9 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
             m["accepted_harmonics"] = int(np.count_nonzero(
                 np.asarray(am_f[centers_j])))
         metrics.append(m)
+        if bar is not None:
+            bar.set_postfix_str(f"SRER {cur:.3f} dB")
+            bar.update(1)
         if verbose:
             print(f"SRER: {cur} dB in Adaptation No: {a}")
         if a != 0 and srer[a] <= srer[a - 1]:
@@ -701,16 +718,23 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
                 continue    # diagnostic mode: keep best-so-far, keep going
         best = dict(s_recon=s_rec, a0=a0_i, am=am_f, fm=fm_f, ph=ph_f)
 
+    if bar is not None:
+        bar.close()
+
     # ---- package DetComponents (reference functions.py:404-411) ----
     # gather the analysis instants on-device: transfers [No, K] (~1 MB)
     # instead of the dense [length, K] tracks (~15 MB each via the tunnel)
+    t_s = time.time()
     am_fin = np.asarray(best["am"][centers_j])[:No_ti]
     fm_fin = np.asarray(best["fm"][centers_j])[:No_ti]
     ph_fin = np.asarray(best["ph"][centers_j])[:No_ti]
     a0_fin = np.asarray(best["a0"][centers_j])[:No_ti]
+    s_recon_np = np.asarray(best["s_recon"])[:length]
+    stage_t["packaging"] = time.time() - t_s
+    timings.update(stage_t)
     nz = am_fin != 0
     result = EaqhmResult(
-        s_recon=np.asarray(best["s_recon"])[:length],
+        s_recon=s_recon_np,
         srer=srer,
         det_ti=centers[:No_ti],
         # reference marks every in-margin instant isSpeech=True
@@ -735,9 +759,12 @@ def eaqhm_analysis_and_synthesis(speech_file: str, gender="other",
                                  analysis_window: int = 32,
                                  full_waveform: bool = True, fc: float = 0,
                                  partials: int = 0, print_prompts: bool = True,
+                                 loading_screen: bool = False,
                                  **kw):
     """Reference-signature entry point (functions.py:35-37).
 
+    `loading_screen` mirrors the reference's `loadingScreen` tqdm toggle
+    (functions.py:173-181) as a live bar over the adaptation loop.
     Returns (s_recon, SRER, result, elapsed) — `result` carries the dense
     DetComponents arrays.
     """
@@ -746,6 +773,7 @@ def eaqhm_analysis_and_synthesis(speech_file: str, gender="other",
                       pitch_periods=pitch_periods,
                       analysis_window=analysis_window,
                       full_waveform=full_waveform, fc=fc, partials=partials,
+                      loading_screen=loading_screen,
                       **kw)
     res = analyze(s, fs, cfg, verbose=print_prompts)
     return res.s_recon, res.srer, res, res.elapsed

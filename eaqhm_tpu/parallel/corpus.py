@@ -67,8 +67,13 @@ def run_corpus(paths: Sequence[str], config: EaqhmConfig = EaqhmConfig(),
     ckpt = CorpusCheckpoint(checkpoint_dir) if checkpoint_dir else None
     res = CorpusResult()
     t0 = time.time()
+    from eaqhm_tpu.utils.progress import progress_bar
+    bar = progress_bar(total=len(my_paths), desc="corpus",
+                       enabled=config.loading_screen)
     for path in my_paths:
         uid = _utt_id(path)
+        if bar is not None:
+            bar.update(1)
         if ckpt is not None and ckpt.is_done(uid):
             res.skipped.append(uid)
             continue
@@ -94,6 +99,8 @@ def run_corpus(paths: Sequence[str], config: EaqhmConfig = EaqhmConfig(),
                 ckpt.mark_failed(uid, err)
             if verbose:
                 print(f"[corpus] FAILED {uid}: {type(e).__name__}: {e}")
+    if bar is not None:
+        bar.close()
     res.elapsed = time.time() - t0
     return res
 

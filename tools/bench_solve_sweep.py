@@ -121,7 +121,8 @@ def main():
         N = 2 * W + 1
         M = 2 * (2 * Kc + 1)
         centers = jnp.asarray(np.sort(
-            rng.choice(np.arange(600, L - 600), Blive, replace=False)))
+            rng.choice(np.arange(600, L - 600), Blive,
+                       replace=False)).astype(np.int32))
         wl = jnp.full((Blive,), W, jnp.int32)
         mask = jnp.ones((Blive, Kc), bool)
         fm_d = jnp.asarray(np.clip(
@@ -229,8 +230,13 @@ def main():
                 row["compile_s"][name] = round(c, 1)
                 if name in ("bi_highest", "bi_fast", "bi_fast3", "pallas",
                             "cholesky", "bi_high_r2", "gramhigh_bifast"):
-                    x = np.asarray(jax.block_until_ready(
-                        chunked(st)(s, fm_d, am_d, c_ch, wl_ch, mk_ch)))
+                    # complex device->host transfers are UNIMPLEMENTED on the
+                    # axon backend (and a failed transfer wedges the client):
+                    # split to planar real/imag ON DEVICE before fetching
+                    xc = jax.block_until_ready(
+                        chunked(st)(s, fm_d, am_d, c_ch, wl_ch, mk_ch))
+                    x = (np.asarray(jnp.real(xc))
+                         + 1j * np.asarray(jnp.imag(xc)))
                     if name == "bi_highest":
                         ref_x = x
                     elif ref_x is not None:
