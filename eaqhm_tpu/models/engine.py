@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from eaqhm_tpu.config import EaqhmConfig
 from eaqhm_tpu.ops import filters, interp
-from eaqhm_tpu.ops.solver import iqhm_batch, eaqhm_batch
+from eaqhm_tpu.ops import solver
+from eaqhm_tpu.ops.solver import iqhm_gram, eaqhm_gram
 from eaqhm_tpu.models import swipe as swipe_mod
 from eaqhm_tpu.models import vad as vad_mod
 from eaqhm_tpu.models.tracks import interpolate_tracks_anchors
@@ -159,9 +160,29 @@ def dead_overlay_windows(fm_k, am_k, rows, dead_center, dd, o, Kc: int):
     return fm_win, am_win
 
 
+def _fused_solve() -> bool:
+    """Solve placement: fused inside each chunk's lax.cond on every backend.
+
+    Measured on TPU v5e (tools/bench_solve_sweep.py + ad-hoc probes,
+    2026-08-21): hoisting the solve to one whole-tier batched call made the
+    adaptation ~3x SLOWER (1.65 s vs 0.37 s) — the [4480, M, M] complex
+    batch spills the recursion's intermediates to HBM (~150 GB/s effective
+    through that path), while per-chunk [128, M, M] solves stay
+    VMEM-resident.  On CPU the fused path additionally skips identity
+    padding work via the chunk cond.  The non-fused branch is kept for
+    future hardware where the trade flips."""
+    return True
+
+
 def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
                 chunk: int, method=None):
     """Adaptation-0 analysis: batched stationary fits + acceptance.
+
+    Normal equations build per lax.map chunk (bounds the basis working
+    set), but the HPD solve runs ONCE over the whole tier: the batched
+    inverse/Cholesky recursion is a latency-bound chain of small GEMMs, so
+    per-chunk solves pay its latency n_chunks times for no flop savings
+    (measured ~6 ms/chunk vs ~5 ms for a whole tier on TPU v5e).
 
     Returns per-frame (a0_val, am, fm, ph, acc) on the frame grid
     ([No], [No, Kc] ...).  Reference functions.py:183-324 (a == 0 branch).
@@ -169,28 +190,45 @@ def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
     dtype = s.dtype
     cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     o = jnp.arange(-W, W + 1)
+    M = 2 * (2 * Kc + 1)
 
     (c_ch, f0_ch, K_ch, wl_ch), No = _pad_chunks(
         [jnp.asarray(centers), f0, K, wl], chunk)
+
+    fused = _fused_solve()
 
     def do_chunk(args):
         c, f0c, Kc_, wlc = args
 
         def live(_):
             s_win = s[jnp.clip(c[:, None] + o[None, :], 0, s.shape[0] - 1)]
-            return iqhm_batch(s_win, o, jnp.maximum(wlc, 1), f0c, Kc_, fs,
-                              Kc, dtype=dtype, method=method)
+            R, rhs, dinv = iqhm_gram(s_win, o, jnp.maximum(wlc, 1), f0c,
+                                     Kc_, fs, Kc, dtype=dtype)
+            if fused:
+                return (solver.solve_gram(R, rhs, dtype, method=method)
+                        * dinv,)
+            return R, rhs, dinv
 
         def empty(_):
-            z = jnp.zeros((c.shape[0], 2 * Kc + 1), cdtype)
-            return z, z
+            # identity systems: solve_gram returns x = 0 for them
+            B = c.shape[0]
+            if fused:
+                return (jnp.zeros((B, M), cdtype),)
+            return (jnp.broadcast_to(jnp.eye(M, dtype=cdtype), (B, M, M)),
+                    jnp.zeros((B, M), cdtype), jnp.ones((B, M), dtype))
 
         # capacity-padded tiers: chunks holding only padding frames
-        # (wl == 0) skip the solve entirely (lax.cond branches on TPU)
+        # (wl == 0) skip the basis/gram work entirely (lax.cond on TPU)
         return jax.lax.cond(jnp.any(wlc > 0), live, empty, 0)
 
-    amps, slopes = jax.lax.map(do_chunk, (c_ch, f0_ch, K_ch, wl_ch))
-    amps = amps.reshape(-1, 2 * Kc + 1)[:No]
+    out = jax.lax.map(do_chunk, (c_ch, f0_ch, K_ch, wl_ch))
+    if fused:
+        x = out[0].reshape(-1, M)
+    else:
+        R, rhs, dinv = out
+        x = solver.solve_gram(R.reshape(-1, M, M), rhs.reshape(-1, M),
+                              dtype, method=method) * dinv.reshape(-1, M)
+    amps, _ = solver.split_amps(x[:No], Kc)
     return iqhm_accept(amps, voiced, f0, Kc, dtype)
 
 
@@ -223,6 +261,9 @@ def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
     (c_ch, wl_ch, dead_ch, mk_ch), No = _pad_chunks(
         [centers, wl, dead, mask_k], chunk)
 
+    M = 2 * (2 * Kc + 1)
+    fused = _fused_solve()
+
     def do_chunk(args):
         c, wlc, dd, mk = args
 
@@ -230,19 +271,34 @@ def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
             rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
             fm_win, am_win = dead_overlay_windows(fm_k, am_k, rows,
                                                   dead_center, dd, o, Kc)
-            return eaqhm_batch(s[rows], fm_win, am_win, o,
-                               jnp.maximum(wlc, 1), mk, fs, dtype=dtype,
-                               method=method)
+            R, rhs, dinv = eaqhm_gram(s[rows], fm_win, am_win, o,
+                                      jnp.maximum(wlc, 1), mk, fs,
+                                      dtype=dtype)
+            if fused:
+                return (solver.solve_gram(R, rhs, dtype, method=method)
+                        * dinv,)
+            return R, rhs, dinv
 
         def empty(_):
-            z = jnp.zeros((c.shape[0], 2 * Kc + 1), cdtype)
-            return z, z, jnp.zeros((c.shape[0], Kc), dtype)
+            B = c.shape[0]
+            if fused:
+                return (jnp.zeros((B, M), cdtype),)
+            return (jnp.broadcast_to(jnp.eye(M, dtype=cdtype), (B, M, M)),
+                    jnp.zeros((B, M), cdtype), jnp.ones((B, M), dtype))
 
         return jax.lax.cond(jnp.any(wlc > 0), live, empty, 0)
 
-    amps, slopes, fmis = jax.lax.map(do_chunk, (c_ch, wl_ch, dead_ch, mk_ch))
-    amps = amps.reshape(-1, 2 * Kc + 1)[:No]
-    fmis = fmis.reshape(-1, Kc)[:No]
+    out = jax.lax.map(do_chunk, (c_ch, wl_ch, dead_ch, mk_ch))
+    if fused:
+        x = out[0].reshape(-1, M)
+    else:
+        R, rhs, dinv = out
+        x = solver.solve_gram(R.reshape(-1, M, M), rhs.reshape(-1, M),
+                              dtype, method=method) * dinv.reshape(-1, M)
+    mask_pad = jnp.pad(mask_k, ((0, x.shape[0] - No), (0, 0)))
+    amps, _, fmis = solver.eaqhm_extract(x, mask_pad, Kc, fs)
+    amps = amps[:No]
+    fmis = fmis[:No]
     return eaqhm_accept(amps, fmis, fmc, dead, h, do_update, None, Kc)
 
 
@@ -564,7 +620,11 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # on the same length page reuses every compiled kernel.
     K_v = K_frame[voiced_idx]
     wl_v = wl_frame[voiced_idx]
-    K_LATTICE = (24, 32, 40, 48, 64, 96, 128, 192, 256)
+    # MXU-aligned harmonic tiers: M = 2(2K+1) = 4K+2 basis columns, so
+    # K ≡ 3 (mod 8) puts M ≡ 126 (mod 32) — just under the 128-lane tile
+    # boundaries instead of just over (K=32 -> M=130 spills a second,
+    # 2%-utilized lane tile on every Gram/inverse GEMM; K=31 -> M=126)
+    K_LATTICE = (23, 31, 39, 47, 63, 95, 127, 191, 255)
     pp2 = config.pitch_periods / 2
 
     if config.quantize_geometry:

@@ -204,22 +204,21 @@ def main():
         variants = {
             "gather": st_gather,
             "repair": st_repair,
-            "repair_t": st_repair_t,
             "basis": st_basis,
             "gram": st_gram,
             "bi_highest": mk_full(lambda R, b: solve_bi(R, b, HP, 2)),
             "bi_fast": mk_full(
                 lambda R, b: solve_bi(R, b, jax.lax.Precision.DEFAULT, 2)),
-            "bi_fast3": mk_full(
-                lambda R, b: solve_bi(R, b, jax.lax.Precision.DEFAULT, 3)),
-            "bi_high_r2": mk_full(
-                lambda R, b: solve_bi(R, b, jax.lax.Precision.HIGH, 2)),
             "pallas": mk_full(solve_pallas),
             "cholesky": mk_full(solve_chol),
             "gramhigh_bifast": mk_full(
                 lambda R, b: solve_bi(R, b, jax.lax.Precision.DEFAULT, 2),
                 gram_prec=jax.lax.Precision.HIGH),
         }
+        only = os.environ.get("SW_ONLY")
+        if only:
+            keep = set(only.split(","))
+            variants = {k: v for k, v in variants.items() if k in keep}
         row = {"live": Blive, "W": W, "Kc": Kc, "N": N, "M": M,
                "chunks": nch, "ms": {}, "compile_s": {}}
         ref_x = None
