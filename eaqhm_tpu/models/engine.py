@@ -9,6 +9,7 @@ rule (functions.py:394-402) stay host-side.
 """
 from __future__ import annotations
 
+import os
 import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -171,7 +172,7 @@ def _fused_solve() -> bool:
     VMEM-resident.  On CPU the fused path additionally skips identity
     padding work via the chunk cond.  The non-fused branch is kept for
     future hardware where the trade flips."""
-    return True
+    return os.environ.get("EAQHM_FUSED", "1") != "0"
 
 
 def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
@@ -480,6 +481,16 @@ def _scatter_and_interp(a0_val, am, fm, ph, acc, centers, length: int,
     return a0_interp, am_f, fm_f, ph_f, fm_cur, s_rec
 
 
+@jax.jit
+def _package(am, fm, ph, a0, s_recon, centers):
+    """Fused DetComponents gather: stack the three [No, Kc] track gathers
+    into one array and concatenate the two vectors, so packaging is one
+    device dispatch + two host transfers (reference functions.py:404-411)."""
+    stk = jnp.stack([am[centers], fm[centers], ph[centers]])
+    vec = jnp.concatenate([a0[centers], s_recon])
+    return stk, vec
+
+
 def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
             verbose: bool = False) -> EaqhmResult:
     """Full eaQHM analysis/synthesis of one utterance.
@@ -537,7 +548,21 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     stage_t = {}
     t_s = time.time()
     with jax.profiler.TraceAnnotation("eaqhm/pitch"):
+        # async dispatch: JAX returns futures; the host VAD below runs
+        # while the device computes SWIPE', and the f0-grid fetch after it
+        # is the only sync point
         f0s, f0_grid = _pitch_fn(plan, grid_step, Lpad)(s)
+    stage_t["pitch_dispatch"] = time.time() - t_s
+
+    # ---- VAD (host f64; exact reference parity) + fullWaveform fixup ----
+    t_s = time.time()
+    vti, v_sp, v_vo, frame_step = vad_mod.voiced_unvoiced_frames_host(
+        s_np, fs, config.is_male,
+        replicate_quirks=config.replicate_quirks)
+    stage_t["vad"] = time.time() - t_s
+
+    t_s = time.time()
+    with jax.profiler.TraceAnnotation("eaqhm/pitch_fetch"):
         f0_grid_np = np.asarray(f0_grid)
     stage_t["pitch"] = time.time() - t_s
 
@@ -548,17 +573,13 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         # min over the TRUE-length grid rows only (padded-tail rows estimate
         # pitch on silence and would corrupt the Kmax derivation)
         Kmax = int(round(Fmax / f0_grid_np[:Ng_true, 1].min()) + 10)
-
-    # ---- VAD (host f64; exact reference parity) + fullWaveform fixup ----
     t_s = time.time()
-    vti, v_sp, v_vo, frame_step = vad_mod.voiced_unvoiced_frames_host(
-        s_np, fs, config.is_male,
-        replicate_quirks=config.replicate_quirks)
     margin = config.margin_samples
     if config.full_waveform:
-        v_sp, v_vo = vad_mod.full_waveform_fixup(vti, jnp.asarray(v_sp),
-                                                 jnp.asarray(v_vo), margin,
-                                                 length)
+        # numpy in, numpy out: keep the VAD/flag stage entirely host-side
+        # (a jnp round-trip here is a tunnel dispatch on the TPU backend)
+        v_sp, v_vo = vad_mod.full_waveform_fixup(
+            vti, np.asarray(v_sp), np.asarray(v_vo), margin, length)
         det = s_np
     else:
         mask = vad_mod.deterministic_part_mask(
@@ -568,8 +589,6 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     v_sp_np = np.asarray(v_sp)
     std_det = float(np.std(det))
     det_j = jnp.asarray(np.pad(det, (0, Lpad - length)), dtype)
-    stage_t["vad"] = time.time() - t_s
-    t_s = time.time()
 
     # ---- frame geometry (host; static shapes for jit) ----
     # anchor/scatter grid spans the padded length (static shapes); frames
@@ -621,10 +640,14 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     K_v = K_frame[voiced_idx]
     wl_v = wl_frame[voiced_idx]
     # MXU-aligned harmonic tiers: M = 2(2K+1) = 4K+2 basis columns, so
-    # K ≡ 3 (mod 8) puts M ≡ 126 (mod 32) — just under the 128-lane tile
-    # boundaries instead of just over (K=32 -> M=130 spills a second,
+    # K ≡ 7 (mod 8) puts M ≡ 30 (mod 32) (M+2 divisible by 32) — just
+    # under the 128-lane tile boundaries instead of just over (K=32 ->
+    # M=130 spills a second,
     # 2%-utilized lane tile on every Gram/inverse GEMM; K=31 -> M=126)
-    K_LATTICE = (23, 31, 39, 47, 63, 95, 127, 191, 255)
+    if os.environ.get("EAQHM_LATTICE", "new") == "old":
+        K_LATTICE = (24, 32, 40, 48, 64, 96, 128, 192, 256)
+    else:
+        K_LATTICE = (23, 31, 39, 47, 63, 95, 127, 191, 255)
     pp2 = config.pitch_periods / 2
 
     if config.quantize_geometry:
@@ -783,13 +806,24 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
 
     # ---- package DetComponents (reference functions.py:404-411) ----
     # gather the analysis instants on-device: transfers [No, K] (~1 MB)
-    # instead of the dense [length, K] tracks (~15 MB each via the tunnel)
+    # instead of the dense [length, K] tracks (~15 MB each via the tunnel);
+    # ONE fused dispatch + two async D2H copies instead of five sequential
+    # dispatch+transfer round trips (each ~30+ ms through the tunnel)
     t_s = time.time()
-    am_fin = np.asarray(best["am"][centers_j])[:No_ti]
-    fm_fin = np.asarray(best["fm"][centers_j])[:No_ti]
-    ph_fin = np.asarray(best["ph"][centers_j])[:No_ti]
-    a0_fin = np.asarray(best["a0"][centers_j])[:No_ti]
-    s_recon_np = np.asarray(best["s_recon"])[:length]
+    stk, vec = _package(best["am"], best["fm"], best["ph"], best["a0"],
+                        best["s_recon"], centers_j)
+    for arr in (stk, vec):
+        try:
+            arr.copy_to_host_async()
+        except AttributeError:
+            pass
+    stk = np.asarray(stk)
+    vec = np.asarray(vec)
+    No_grid = stk.shape[1]
+    am_fin, fm_fin, ph_fin = (stk[0][:No_ti], stk[1][:No_ti],
+                              stk[2][:No_ti])
+    a0_fin = vec[:No_ti]
+    s_recon_np = vec[No_grid:No_grid + length]
     stage_t["packaging"] = time.time() - t_s
     timings.update(stage_t)
     nz = am_fin != 0

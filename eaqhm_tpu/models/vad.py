@@ -27,6 +27,13 @@ def _windowed_std_db(x, ti, window_range, valid, dtype):
     return jnp.where(valid, db, -jnp.inf)
 
 
+def _flag_smooth_idx(L: int, p: int, ad: int):
+    i = np.arange(L)[:, None]
+    j = np.arange(p - 1)[None, :]
+    idx = np.where(j <= i, L - 1 - i + j, L + (j - i))
+    return np.clip(idx, 0, L + 2 * ad - 1)
+
+
 def reference_flag_smooth(flags, p: int = 5):
     """Bit-faithful replica of the reference's flag "median filter".
 
@@ -45,13 +52,23 @@ def reference_flag_smooth(flags, p: int = 5):
     ad = (p - 1) // 2
     xp = jnp.concatenate([jnp.repeat(x[..., :1], ad, axis=-1), x,
                           jnp.repeat(x[..., -1:], ad, axis=-1)], axis=-1)
-    i = np.arange(L)[:, None]
-    j = np.arange(p - 1)[None, :]
-    idx = np.where(j <= i, L - 1 - i + j, L + (j - i))
-    idx = np.clip(idx, 0, L + 2 * ad - 1)
-    win = xp[..., idx]                                  # [..., L, p-1]
+    win = xp[..., _flag_smooth_idx(L, p, ad)]           # [..., L, p-1]
     count = jnp.sum(win.astype(jnp.int32), axis=-1)
     return count >= (p - 1) // 2
+
+
+def reference_flag_smooth_np(flags, p: int = 5):
+    """Pure-numpy reference_flag_smooth: the host VAD path must not touch
+    jnp — on the TPU backend every jnp op here would be a device dispatch
+    through the remote tunnel (~30 ms each) on per-utterance preprocessing
+    that takes microseconds on the host."""
+    x = np.asarray(flags)
+    L = x.shape[-1]
+    ad = (p - 1) // 2
+    xp = np.concatenate([np.repeat(x[..., :1], ad, axis=-1), x,
+                         np.repeat(x[..., -1:], ad, axis=-1)], axis=-1)
+    win = xp[..., _flag_smooth_idx(L, p, ad)]
+    return win.astype(np.int32).sum(axis=-1) >= (p - 1) // 2
 
 
 def voiced_unvoiced_frames_host(s, fs: int, is_male: bool,
@@ -97,8 +114,8 @@ def voiced_unvoiced_frames_host(s, fs: int, is_male: bool,
         is_voiced = is_speech & ((sp_en - sm_en) < 10.0) & (sm_en > -50.0)
 
     if replicate_quirks:
-        is_speech = np.asarray(reference_flag_smooth(is_speech, 5))
-        is_voiced = np.asarray(reference_flag_smooth(is_voiced, 5))
+        is_speech = reference_flag_smooth_np(is_speech, 5)
+        is_voiced = reference_flag_smooth_np(is_voiced, 5)
     else:
         from scipy.ndimage import median_filter
         is_speech = median_filter(is_speech.astype(float), size=5,
@@ -157,11 +174,13 @@ def full_waveform_fixup(ti, is_speech, is_voiced, margin: float, length: int):
     """fullWaveform=True flag override (reference functions.py:140-146).
 
     Every frame with margin/2 < ti < length - margin/2 ends up voiced (and
-    non-speech frames also become speech).
+    non-speech frames also become speech).  Works on numpy or jnp inputs
+    (the host engine path passes numpy; device pipelines pass jnp).
     """
+    xp = jnp if isinstance(is_speech, jnp.ndarray) else np
     inside = (ti > margin / 2) & (ti < length - margin / 2)
-    sp = jnp.where(inside & ~is_voiced & ~is_speech, True, is_speech)
-    vo = jnp.where(inside, True, is_voiced)
+    sp = xp.where(inside & ~is_voiced & ~is_speech, True, is_speech)
+    vo = xp.where(inside, True, is_voiced)
     return sp, vo
 
 

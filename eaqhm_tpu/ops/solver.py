@@ -24,8 +24,18 @@ reproduced.  Amplitude normalization eps = 10e-5 = 1e-4 (functions.py:517).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# Perf-bisect toggles (round-4 diagnostics; defaults = round-3 HEAD
+# behavior).  Each suspect change from the unbenched round-3 landing can be
+# reverted independently so tools/bench_quick.py can attribute the
+# regression on the real chip.
+_PLANAR = os.environ.get("EAQHM_PLANAR", "1") != "0"
+_PHASE_SPLIT = os.environ.get("EAQHM_PHASE_SPLIT", "1") != "0"
+_REFINE = int(os.environ.get("EAQHM_REFINE", "2"))
 
 
 def blackman_window(o, wl):
@@ -205,9 +215,9 @@ def solve_gram(R, rhs, rdtype, method=None):
         # refinement push the f32 inverse error from ~cond(R)*eps to
         # ~(cond(R)*eps)^3: the inverse is only a preconditioner, the
         # residual GEMVs carry the accuracy.
-        Ri = hpd_inverse_planar(R)
+        Ri = hpd_inverse_planar(R) if _PLANAR else hpd_block_inverse(R)
         x = jnp.einsum("bmp,bp->bm", Ri, rhs, precision=hp)
-        for _ in range(2):
+        for _ in range(_REFINE):
             r = rhs - jnp.einsum("bmp,bp->bm", R, x, precision=hp)
             x = x + jnp.einsum("bmp,bp->bm", Ri, r, precision=hp)
     else:
@@ -358,14 +368,21 @@ def eaqhm_gram(s_win, fm_win, am_win, o, wl, colmask_k, fs,
     # with q = round(fm) an integer; integer partial sums stay < 2^24 so
     # cumsum(q) is EXACT in f32, and its phase contribution reduces mod fs
     # exactly; the residual cumsum (|r| <= 0.5) carries negligible error.
-    fm_q = jnp.round(fm_r)
-    fm_res = fm_r - fm_q
+    if _PHASE_SPLIT:
+        fm_q = jnp.round(fm_r)
+        fm_res = fm_r - fm_q
+    else:
+        # plain-cumsum path (pre-r3 behavior): q = 0, whole fm in residual
+        fm_q = jnp.zeros_like(fm_r)
+        fm_res = fm_r
     cq = jnp.cumsum(fm_q, axis=1)
     cr = jnp.cumsum(fm_res, axis=1)
     psi_q = cq - cq[:, W:W + 1, :]
     psi_r = cr - cr[:, W:W + 1, :]
 
     def mk_phase(pq, pr):
+        if not _PHASE_SPLIT:
+            return (2 * jnp.pi / fs) * pr
         return (2 * jnp.pi / fs) * (jnp.mod(pq, fs) + pr)
 
     phase = mk_phase(psi_q, psi_r)

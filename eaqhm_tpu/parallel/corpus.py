@@ -70,12 +70,18 @@ def run_corpus(paths: Sequence[str], config: EaqhmConfig = EaqhmConfig(),
     from eaqhm_tpu.utils.progress import progress_bar
     bar = progress_bar(total=len(my_paths), desc="corpus",
                        enabled=config.loading_screen)
+    def _tick(outcome):
+        # bar reflects COMPLETED work (ADVICE r3): update after the
+        # analyze/skip outcome, with the outcome as postfix
+        if bar is not None:
+            bar.set_postfix_str(outcome)
+            bar.update(1)
+
     for path in my_paths:
         uid = _utt_id(path)
-        if bar is not None:
-            bar.update(1)
         if ckpt is not None and ckpt.is_done(uid):
             res.skipped.append(uid)
+            _tick(f"skipped {uid}")
             continue
         try:
             fs, s = io_mod.read_wav(path)
@@ -92,6 +98,7 @@ def run_corpus(paths: Sequence[str], config: EaqhmConfig = EaqhmConfig(),
                 io_mod.write_wav(
                     os.path.join(write_wavs, f"{uid}_reconstructed.wav"),
                     fs, out.s_recon)
+            _tick(f"done {uid} ({summary['final_srer_db']:.2f} dB)")
         except Exception as e:  # noqa: BLE001 — isolation is the point
             err = f"{type(e).__name__}: {e}\n{traceback.format_exc()}"
             res.failed[uid] = err
@@ -99,6 +106,7 @@ def run_corpus(paths: Sequence[str], config: EaqhmConfig = EaqhmConfig(),
                 ckpt.mark_failed(uid, err)
             if verbose:
                 print(f"[corpus] FAILED {uid}: {type(e).__name__}: {e}")
+            _tick(f"FAILED {uid}")
     if bar is not None:
         bar.close()
     res.elapsed = time.time() - t0

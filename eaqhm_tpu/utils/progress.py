@@ -17,14 +17,19 @@ class _PrintBar:
         self.total = total
         self.desc = desc
         self.n = 0
+        self._postfix = ""
 
     def update(self, n=1):
+        # one combined line per step: "desc: n/total (postfix)" — the
+        # stored postfix avoids the duplicate prints tqdm's two-call
+        # protocol would otherwise produce here (ADVICE r3)
         self.n += n
         tot = f"/{self.total}" if self.total else ""
-        print(f"{self.desc}: {self.n}{tot}", flush=True)
+        post = f" ({self._postfix})" if self._postfix else ""
+        print(f"{self.desc}: {self.n}{tot}{post}", flush=True)
 
     def set_postfix_str(self, s):
-        print(f"{self.desc}: {s}", flush=True)
+        self._postfix = s
 
     def close(self):
         pass

@@ -107,3 +107,28 @@ def test_run_corpus_sharded(tmp_path, batch_setup):
     res2 = run_corpus_sharded(paths, cfg, mesh=mesh, batch_size=2,
                               checkpoint_dir=str(tmp_path / "ckpt"))
     assert sorted(res2.skipped) == sorted(res.done.keys())
+
+
+def test_deterministic_reductions(batch_setup):
+    """Sanitizer-tier policy (SURVEY §5): within a fixed mesh shape the
+    psum-reduced SRER statistics are bit-identical across repeated runs —
+    XLA collectives have a fixed combining order and jitted reductions a
+    static schedule (see eaqhm_tpu.parallel.determinism)."""
+    from eaqhm_tpu.parallel import determinism
+    from eaqhm_tpu.parallel.batch_engine import analyze_batch
+
+    import jax
+
+    prev = jax.config.jax_default_matmul_precision
+    applied = determinism.apply()
+    assert "xla_cpu_enable_fast_math=false" in applied["xla_flags"]
+    try:
+        mesh, cfg, fs, sigs = batch_setup
+        out1 = analyze_batch(sigs, fs, cfg, mesh=mesh)
+        out2 = analyze_batch(sigs, fs, cfg, mesh=mesh)
+        # bitwise, not allclose: the reduction ORDER itself must be stable
+        assert (out1.srer == out2.srer).all()
+        assert float(out1.srer_mean) == float(out2.srer_mean)
+        assert (out1.s_recon == out2.s_recon).all()
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)

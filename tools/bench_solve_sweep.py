@@ -155,30 +155,6 @@ def main():
         def st_repair(s_win, fm_win, am_win, wlc, mk):
             return repair_tracks(fm_win, am_win, o, wlc)
 
-        def st_repair_t(s_win, fm_win, am_win, wlc, mk):
-            # layout experiment: scan along axis 0 of [N, B*K] (full
-            # (8,128)-tile utilization; K=32 on lanes wastes 3/4 of each
-            # vector register in the [B, N, K] layout)
-            B, N_, K_ = fm_win.shape
-            fm2 = jnp.transpose(fm_win, (1, 0, 2)).reshape(N_, B * K_)
-            am2 = jnp.transpose(am_win, (1, 0, 2)).reshape(N_, B * K_)
-            inwin = (jnp.abs(o)[:, None] <= wlc[None, :, None]
-                     .repeat(K_, 2).reshape(1, B * K_))
-            nz = inwin & (fm2 != 0)
-            idx = jnp.broadcast_to(
-                jnp.arange(N_, dtype=jnp.int32)[:, None], fm2.shape)
-            elems = (jnp.where(nz, idx, jnp.int32(-1)),
-                     jnp.where(nz, fm2, 0.0), jnp.where(nz, am2, 0.0))
-
-            def op_last(l, r):
-                t = r[0] >= 0
-                return tuple(jnp.where(t, rv, lv) for lv, rv in zip(l, r))
-
-            p = jax.lax.associative_scan(op_last, elems, axis=0)
-            q = jax.lax.associative_scan(op_last, elems, axis=0,
-                                         reverse=True)
-            return p, q
-
         def st_basis(s_win, fm_win, am_win, wlc, mk):
             return build_basis(s_win, fm_win, am_win, o, wlc, mk, FS)
 
@@ -215,6 +191,11 @@ def main():
                 lambda R, b: solve_bi(R, b, jax.lax.Precision.DEFAULT, 2),
                 gram_prec=jax.lax.Precision.HIGH),
         }
+        # full-solve variants (complex solution rows) get the accuracy
+        # cross-check below; derived from the dict so the list can't go
+        # stale when variants are added/removed (ADVICE r3)
+        solver_variants = set(variants) - {"gather", "repair", "basis",
+                                           "gram"}
         only = os.environ.get("SW_ONLY")
         if only:
             keep = set(only.split(","))
@@ -227,8 +208,7 @@ def main():
                 t, c = timeit(chunked(st), s, fm_d, am_d, c_ch, wl_ch, mk_ch)
                 row["ms"][name] = round(t * 1e3, 2)
                 row["compile_s"][name] = round(c, 1)
-                if name in ("bi_highest", "bi_fast", "bi_fast3", "pallas",
-                            "cholesky", "bi_high_r2", "gramhigh_bifast"):
+                if name in solver_variants:
                     # complex device->host transfers are UNIMPLEMENTED on the
                     # axon backend (and a failed transfer wedges the client):
                     # split to planar real/imag ON DEVICE before fetching
