@@ -179,11 +179,9 @@ def _iqhm_stage(s, centers, f0, K, wl, voiced, W: int, Kc: int, fs: float,
                 chunk: int, method=None):
     """Adaptation-0 analysis: batched stationary fits + acceptance.
 
-    Normal equations build per lax.map chunk (bounds the basis working
-    set), but the HPD solve runs ONCE over the whole tier: the batched
-    inverse/Cholesky recursion is a latency-bound chain of small GEMMs, so
-    per-chunk solves pay its latency n_chunks times for no flop savings
-    (measured ~6 ms/chunk vs ~5 ms for a whole tier on TPU v5e).
+    Both the normal-equation build AND the HPD solve run fused per lax.map
+    chunk (_fused_solve; see its docstring for the measurement) — the
+    non-fused whole-tier solve is the retained fallback.
 
     Returns per-frame (a0_val, am, fm, ph, acc) on the frame grid
     ([No], [No, Kc] ...).  Reference functions.py:183-324 (a == 0 branch).
@@ -639,15 +637,14 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # on the same length page reuses every compiled kernel.
     K_v = K_frame[voiced_idx]
     wl_v = wl_frame[voiced_idx]
-    # MXU-aligned harmonic tiers: M = 2(2K+1) = 4K+2 basis columns, so
-    # K ≡ 7 (mod 8) puts M ≡ 30 (mod 32) (M+2 divisible by 32) — just
-    # under the 128-lane tile boundaries instead of just over (K=32 ->
-    # M=130 spills a second,
-    # 2%-utilized lane tile on every Gram/inverse GEMM; K=31 -> M=126)
-    if os.environ.get("EAQHM_LATTICE", "new") == "old":
-        K_LATTICE = (24, 32, 40, 48, 64, 96, 128, 192, 256)
-    else:
-        K_LATTICE = (23, 31, 39, 47, 63, 95, 127, 191, 255)
+    # Harmonic tier lattice.  The round-3 "MXU-aligned" lattice
+    # (23,31,...,255: K ≡ 7 mod 8 puts M = 4K+2 just under the 128-lane
+    # tile boundary) was REVERTED by the round-4 on-chip bisect: it showed
+    # no measurable speedup (tile-spill cost is hidden behind the
+    # HIGHEST-precision gram passes) and pushing SA19's K=48 frames into a
+    # K=63 (M=254) tier collapsed the f32 complex block-inverse (SRER
+    # declined at adaptation 1; tools/out/bench_history.jsonl, config E).
+    K_LATTICE = (24, 32, 40, 48, 64, 96, 128, 192, 256)
     pp2 = config.pitch_periods / 2
 
     if config.quantize_geometry:
@@ -751,7 +748,6 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     stage_t["host_geometry"] = time.time() - t_s
 
     srer: List[float] = []
-    best = {}
     fm_cur = am_cur = None
     timings = {}
     metrics: List[dict] = []
@@ -762,6 +758,8 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     bar = progress_bar(total=config.max_adaptations + 1, desc="adaptations",
                        enabled=config.loading_screen)
 
+    pending = None    # device-side best package awaiting fetch
+    fetched = None    # host copy of the best package
     for a in range(config.max_adaptations + 1):
         t_a = time.time()
         with jax.profiler.TraceAnnotation(f"eaqhm/adaptation_{a}"):
@@ -780,6 +778,14 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
                     geom=geom, fs=float(fs), chunk=fplan.chunk, length=Lpad,
                     step=step, No=No_pad, method=method)
             am_cur = am_f
+            # fetch the previous best's package while THIS adaptation
+            # computes: its gather was dispatched last iteration (already
+            # complete on the serial device queue), so the ~2.5 MB D2H
+            # tunnel transfer overlaps the current device work instead of
+            # stalling after the loop
+            if pending is not None:
+                fetched = (np.asarray(pending[0]), np.asarray(pending[1]))
+                pending = None
             cur = float(srer_d)
         srer.append(cur)
         dt = time.time() - t_a
@@ -799,7 +805,12 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
                 break
             if srer[a] <= max(srer[:a]):
                 continue    # diagnostic mode: keep best-so-far, keep going
-        best = dict(s_recon=s_rec, a0=a0_i, am=am_f, fm=fm_f, ph=ph_f)
+        # fused DetComponents gather dispatched NOW (async); the host
+        # fetches it one step behind, overlapped with the next
+        # adaptation's device compute (the declining final adaptation
+        # never updates best, so the kept snapshot's fetch is hidden)
+        pending = _package(am_f, fm_f, ph_f, a0_i, s_rec, centers_j)
+        fetched = None
 
     if bar is not None:
         bar.close()
@@ -807,18 +818,12 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # ---- package DetComponents (reference functions.py:404-411) ----
     # gather the analysis instants on-device: transfers [No, K] (~1 MB)
     # instead of the dense [length, K] tracks (~15 MB each via the tunnel);
-    # ONE fused dispatch + two async D2H copies instead of five sequential
-    # dispatch+transfer round trips (each ~30+ ms through the tunnel)
+    # one fused dispatch + two transfers (usually already fetched inside
+    # the loop) instead of five sequential dispatch+transfer round trips
     t_s = time.time()
-    stk, vec = _package(best["am"], best["fm"], best["ph"], best["a0"],
-                        best["s_recon"], centers_j)
-    for arr in (stk, vec):
-        try:
-            arr.copy_to_host_async()
-        except AttributeError:
-            pass
-    stk = np.asarray(stk)
-    vec = np.asarray(vec)
+    if fetched is None:
+        fetched = (np.asarray(pending[0]), np.asarray(pending[1]))
+    stk, vec = fetched
     No_grid = stk.shape[1]
     am_fin, fm_fin, ph_fin = (stk[0][:No_ti], stk[1][:No_ti],
                               stk[2][:No_ti])

@@ -29,11 +29,13 @@ import os
 import jax
 import jax.numpy as jnp
 
-# Perf-bisect toggles (round-4 diagnostics; defaults = round-3 HEAD
-# behavior).  Each suspect change from the unbenched round-3 landing can be
-# reverted independently so tools/bench_quick.py can attribute the
-# regression on the real chip.
-_PLANAR = os.environ.get("EAQHM_PLANAR", "1") != "0"
+# Numerics-experiment toggles (tools/bench_quick.py perturbation studies).
+# Defaults = the round-4 bisect winner, measured on the real chip
+# 2026-08-21 (tools/out/bench_history.jsonl): planar OFF (the planar SPD
+# embedding made each adaptation ~40% SLOWER at production shapes — 0.505 s
+# vs 0.365 s — contradicting its microbenchmark; see hpd_inverse_planar),
+# phase split ON (no measurable cost, locally ~100x more accurate cumsum).
+_PLANAR = os.environ.get("EAQHM_PLANAR", "0") != "0"
 _PHASE_SPLIT = os.environ.get("EAQHM_PHASE_SPLIT", "1") != "0"
 _REFINE = int(os.environ.get("EAQHM_REFINE", "2"))
 
@@ -94,11 +96,17 @@ def spd_block_inverse(G, base: int = 16, precision=None):
 
     Used as the engine of the planar complex path: a complex HPD R = A+iB
     maps to the real SPD G = [[A, -B], [B, A]] of size 2M, whose inverse
-    holds (A+iB)^{-1} = Ai+iBi in the same block layout.  One real GEMM of
-    size 2M replaces the 4 small real GEMMs + adds XLA emits per complex
-    GEMM — ~10x fewer ops at identical flops, and the bigger contractions
-    tile the MXU far better (measured 118 ms -> ~25 ms per tier on v5e for
-    the production eaQHM solve).
+    holds (A+iB)^{-1} = Ai+iBi in the same block layout.
+
+    NOT the production path (round-4 bisect, real chip, 2026-08-21): in the
+    full pipeline this made each adaptation ~40% slower than the complex
+    hpd_block_inverse (0.505 s vs 0.365 s per adaptation on SA19) — the 2M
+    recursion's extra depth and concatenate/slice traffic outweigh the
+    better GEMM tiling at production batch sizes.  Kept because the real
+    SPD recursion is numerically robust at large M where the complex f32
+    recursion degrades (M >= ~250; see the round-4 lattice-E collapse in
+    tools/out/bench_history.jsonl), so it is a candidate for the big-M
+    tiers of the 80 Hz stress config.
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
@@ -181,11 +189,14 @@ def solve_gram(R, rhs, rdtype, method=None):
     """Solve equilibrated HPD normal equations R x' = rhs (batched).
 
     R: [B, M, M]; rhs: [B, M]; the caller de-equilibrates (x = x' * dinv).
-    Separated from build_gram so the batched-Cholesky/inverse recursion can
-    run ONCE over a whole tier instead of once per lax.map chunk — the
-    recursion is a fixed ~O(depth) chain of small GEMMs whose latency, not
-    flops, dominates at chunk-sized batches (measured ~6 ms/chunk vs ~5 ms
-    for ALL chunks of a tier batched together on TPU v5e).
+
+    Placement: the PRODUCTION path calls this fused inside each lax.map
+    chunk (engine._fused_solve = True; measured on the real chip: hoisting
+    the solve to one whole-tier batched call made the adaptation ~3x
+    slower — the [~4.5k, M, M] batch spills the recursion's intermediates
+    to HBM while per-chunk [128, M, M] solves stay VMEM-resident).  The
+    build_gram/solve_gram split is kept so whole-tier placement remains
+    expressible for hardware where the trade flips.
 
     method: None (dtype default) | "block_inverse" | "cholesky" | "pallas".
     """
@@ -209,12 +220,12 @@ def solve_gram(R, rhs, rdtype, method=None):
     elif method == "block_inverse":
         # recursive Schur-complement inverse: GEMMs only (MXU); matches the
         # reference's inv()-based solve policy (functions.py:465,530).
-        # Computed through the real SPD embedding (hpd_inverse_planar):
-        # one well-tiled real GEMM of size 2M per block product instead of
-        # XLA's 4 small complex-part GEMMs.  Two steps of iterative
-        # refinement push the f32 inverse error from ~cond(R)*eps to
-        # ~(cond(R)*eps)^3: the inverse is only a preconditioner, the
-        # residual GEMVs carry the accuracy.
+        # Complex recursion by default — the planar real-SPD embedding is
+        # ~40% slower end-to-end at production shapes (round-4 bisect; see
+        # hpd_inverse_planar docstring).  Iterative-refinement steps push
+        # the f32 inverse error from ~cond(R)*eps to ~(cond(R)*eps)^3: the
+        # inverse is only a preconditioner, the residual GEMVs carry the
+        # accuracy.
         Ri = hpd_inverse_planar(R) if _PLANAR else hpd_block_inverse(R)
         x = jnp.einsum("bmp,bp->bm", Ri, rhs, precision=hp)
         for _ in range(_REFINE):

@@ -30,7 +30,12 @@ def main():
 
     fs, s = read_wav("/root/reference/SA19.WAV")
     audio_seconds = len(s) / fs
-    cfg = EaqhmConfig(gender="female")
+    kw = {}
+    if os.environ.get("EAQHM_CHUNK"):
+        kw["chunk"] = int(os.environ["EAQHM_CHUNK"])
+    if os.environ.get("EAQHM_SOLVE_METHOD"):
+        kw["solve_method"] = os.environ["EAQHM_SOLVE_METHOD"]
+    cfg = EaqhmConfig(gender="female", **kw)
 
     t0 = time.time()
     res = engine.analyze(s, fs, cfg)
