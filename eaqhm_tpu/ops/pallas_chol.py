@@ -1,5 +1,18 @@
 """Pallas TPU kernel: batched Hermitian-positive-definite Cholesky solve.
 
+STATUS (round-4 on-chip sweep, tools/out/solve_sweep.json, 2026-08-21):
+NOT the production solver.  At the real SA19 production tiers this kernel
+measured 365 / 244 / 90 ms per adaptation-equivalent vs 294 / 155 / 70 ms
+for the best XLA path (block-inverse at M=130, batched Cholesky at
+M>=160), with 2-12 minute Pallas compile times per shape.  The loss is
+structural: with G=4 matrices per grid step the panel factorization's
+column loop (M/nb blocks x nb unrolled columns) is sublane-serial and the
+MXU trailing updates are small (<= [G*nb, nb] x [nb, M]), so the kernel is
+issue-bound while XLA's alternatives amortize over bigger fused GEMMs.
+Kept as the reference Pallas implementation + for the accuracy column it
+contributes (rel err ~2e-6, matching XLA Cholesky).  Production selection
+lives in ops.solver.default_solve_method.
+
 The eaQHM hot path solves thousands of small (M ~ 100-260) complex HPD
 normal-equation systems per adaptation (the reference uses numpy.linalg.inv,
 functions.py:465,530).  XLA's batched Cholesky + triangular solves are

@@ -145,13 +145,23 @@ def hpd_inverse_planar(R, precision=None):
     return jax.lax.complex(Gi[..., :M, :M], Gi[..., M:, :M])
 
 
-def default_solve_method(rdtype) -> str:
-    """LS solve algorithm by dtype: "cholesky" (XLA batched Cholesky +
-    triangular solves; bit-for-bit stable, used for f64 parity) or
-    "block_inverse" (recursive Schur GEMMs; MXU-bound, default on the f32
-    TPU path).  "pallas" (ops.pallas_chol blocked VMEM factorization) is
-    opt-in via EaqhmConfig.solve_method."""
-    return "cholesky" if rdtype == jnp.float64 else "block_inverse"
+def default_solve_method(rdtype, M: int | None = None) -> str:
+    """LS solve algorithm by dtype and (optionally) system size.
+
+    f64 -> "cholesky" (XLA batched Cholesky + triangular solves;
+    bit-for-bit stable, used for CPU parity).  f32 -> size-dependent
+    (round-4 on-chip sweep, tools/out/solve_sweep.json): the recursive
+    Schur block inverse wins at M <= ~130 (tier Kc=32: 294 vs 299 ms) but
+    XLA Cholesky wins from M ~160 up (tier Kc=40: 155 vs 167 ms) and is
+    also numerically robust at the M >= ~250 tiers where the f32 complex
+    recursion collapses (round-4 lattice-E experiment).  "pallas"
+    (ops.pallas_chol) measured slower than both at every production tier
+    (365/244 ms vs 294/155) and stays opt-in."""
+    if rdtype == jnp.float64:
+        return "cholesky"
+    if M is not None and M >= 160:
+        return "cholesky"
+    return "block_inverse"
 
 
 def build_gram(E, w, s_win, colmask):
@@ -202,7 +212,7 @@ def solve_gram(R, rhs, rdtype, method=None):
     """
     hp = jax.lax.Precision.HIGHEST
     if method is None:
-        method = default_solve_method(rdtype)
+        method = default_solve_method(rdtype, int(R.shape[-1]))
     if method == "pallas":
         # blocked VMEM Cholesky factorize+solve (ops.pallas_chol); f32-only.
         # R is already equilibrated to unit diagonal + identity-padded — the
