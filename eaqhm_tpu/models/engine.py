@@ -310,13 +310,15 @@ _PITCH_JIT_CACHE_MAX = 16
 _PITCH_JIT_CACHE = OrderedDict()
 
 
-def _pitch_fn(plan, grid_step: int, length: int):
+def _pitch_fn(plan, grid_step: int, length: int, dtype=None):
     """One fused jit: SWIPE' + 5 ms f0-grid resample (minimizes dispatches;
     each device call costs ~30 ms through the remote tunnel)."""
     # key on the plan's defining parameters (id() could be reused after the
     # make_plan lru cache evicts an entry)
+    if dtype is None:
+        dtype = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     key = (plan.fs, float(plan.pc[0]), float(plan.pc[-1]), plan.length,
-           grid_step, length)
+           grid_step, length, jnp.dtype(dtype).name)
     if key in _PITCH_JIT_CACHE:
         _PITCH_JIT_CACHE.move_to_end(key)
     else:
@@ -330,7 +332,38 @@ def _pitch_fn(plan, grid_step: int, length: int):
             grid = resample_f0_grid(f0s, jnp.asarray(t_grid, x.dtype),
                                     dtype=x.dtype)
             return f0s, grid
-        _PITCH_JIT_CACHE[key] = fn
+
+        # Compile OUTSIDE the persistent compilation cache.  Measured on
+        # the axon TPU backend (2026-08-21, tools/out/bench_history.jsonl):
+        # loading this program's DESERIALIZED cache entry onto the device
+        # takes 98-126 s (reproducibly, entry key f2293951..; the FFT
+        # custom-call is the prime suspect) while compiling it fresh takes
+        # ~3 s.  The adaptation programs don't exhibit this (130 MB
+        # entries load in ~6 s), so only the pitch program opts out.
+        # Belt-and-braces: cache writes are asynchronous in jax, so a
+        # pitch entry can land even with the flag toggled off around the
+        # compile — purge any on-disk jit_fn entries so no later process
+        # ever deserializes one.
+        cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if cache_dir and os.path.isdir(cache_dir):
+            import glob as _glob
+            for p in _glob.glob(os.path.join(cache_dir, "jit_fn-*")):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+        try:
+            cache_flag = jax.config.jax_enable_compilation_cache
+            jax.config.update("jax_enable_compilation_cache", False)
+            try:
+                compiled = fn.lower(
+                    jax.ShapeDtypeStruct((length,), dtype)).compile()
+            finally:
+                jax.config.update("jax_enable_compilation_cache",
+                                  cache_flag)
+            _PITCH_JIT_CACHE[key] = compiled
+        except Exception:   # AOT unavailable: fall back to lazy jit
+            _PITCH_JIT_CACHE[key] = fn
     return _PITCH_JIT_CACHE[key]
 
 
@@ -524,12 +557,17 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     LQ = 4096
     Lpad = ((length + LQ - 1) // LQ) * LQ if config.quantize_geometry \
         else length
+    stage_t = {}
+    t_s = time.time()
     s = jnp.asarray(np.pad(s_np, (0, Lpad - length)), dtype)
+    stage_t["signal_upload"] = time.time() - t_s
 
     f0min, f0max = config.pitch_limits
 
     # ---- pitch (SWIPE') + 5 ms f0 grid (one fused device dispatch) ----
+    t_s = time.time()
     plan = swipe_mod.make_plan(float(fs), float(f0min), float(f0max), Lpad)
+    stage_t["pitch_plan"] = time.time() - t_s
     grid_step = int(round(fs * 5 / 1000))
     Ng_true = len(np.arange(0, length - 1, grid_step))
     if config.replicate_quirks:
@@ -543,13 +581,12 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
                 "Can't interpolate f0 grid: query time "
                 f"{t_last:.6f}s exceeds last pitch row {t_swipe_last:.6f}s "
                 "(reference getLinear raise, functions.py:676-677)")
-    stage_t = {}
     t_s = time.time()
     with jax.profiler.TraceAnnotation("eaqhm/pitch"):
         # async dispatch: JAX returns futures; the host VAD below runs
         # while the device computes SWIPE', and the f0-grid fetch after it
         # is the only sync point
-        f0s, f0_grid = _pitch_fn(plan, grid_step, Lpad)(s)
+        f0s, f0_grid = _pitch_fn(plan, grid_step, Lpad, s.dtype)(s)
     stage_t["pitch_dispatch"] = time.time() - t_s
 
     # ---- VAD (host f64; exact reference parity) + fullWaveform fixup ----

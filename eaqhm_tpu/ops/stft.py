@@ -14,7 +14,20 @@ Frames start at sample 0 with hop ``NFFT - noverlap``; frame count is
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_bases(nfft: int, dtype):
+    """Host-precomputed one-sided DFT bases: cos / -sin [nfft, nfft//2+1]."""
+    n = np.arange(nfft)[:, None]
+    k = np.arange(nfft // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / nfft
+    return (np.cos(ang).astype(dtype), (-np.sin(ang)).astype(dtype))
 
 
 def frame_count(n: int, nfft: int, hop: int) -> int:
@@ -49,8 +62,20 @@ def specgram_psd(x, nfft: int, hop: int, window, fs: float, dtype=jnp.float64):
     idx = starts[:, None] + np.arange(nfft)[None, :]          # [nf, nfft]
     frames = x[..., idx]                                       # [..., nf, nfft]
     w = jnp.asarray(window, dtype)
-    spec = jnp.fft.rfft(frames * w, axis=-1)                   # [..., nf, nfft//2+1]
-    p = jnp.abs(spec) ** 2
+    # DFT as two real matmuls against precomputed cos/-sin bases instead of
+    # jnp.fft.rfft: (a) at these sizes (nfft <= ~2048, nf ~ 100-300) the
+    # [nf, nfft] @ [nfft, nbins] contraction is sub-millisecond MXU work;
+    # (b) the FFT custom-call's FIRST execution through the axon TPU
+    # tunnel measured 0.6-424 s (a retry lottery, tools/out/
+    # bench_history.jsonl round 4) while plain matmul programs load
+    # reliably.  f64 matmul-DFT matches rfft to ~1e-12 relative (unit
+    # tests), f32 to ~1e-6 — inside every downstream tolerance.
+    cosb, sinb = _dft_bases(nfft, np.dtype(jnp.dtype(dtype).name))
+    xw = frames * w
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(xw, jnp.asarray(cosb), precision=hp)
+    im = jnp.matmul(xw, jnp.asarray(sinb), precision=hp)
+    p = re * re + im * im                                      # |rfft|^2
     # one-sided doubling: all bins except DC; Nyquist excluded only if nfft even
     nbins = nfft // 2 + 1
     scale = np.full(nbins, 2.0)
