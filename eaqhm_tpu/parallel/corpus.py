@@ -152,8 +152,16 @@ def run_corpus_sharded(paths: Sequence[str],
             mesh = make_mesh()
         except Exception:
             mesh = None
+    if mesh is None or int(np.prod(mesh.devices.shape)) == 1:
+        # Degenerate mesh: the batched/sharded engine pays its padding +
+        # collective structure with nothing to parallelize over — measured
+        # 8x slower per audio-second than the per-utterance engine on one
+        # chip (tools/out/benchmarks_r4.json, config 3).  The sequential
+        # driver IS the single-device corpus fast path.
+        return run_corpus(paths, config, checkpoint_dir=checkpoint_dir,
+                          verbose=verbose)
     if batch_size is None:
-        batch_size = mesh.devices.shape[0] if mesh is not None else 1
+        batch_size = mesh.devices.shape[0]
 
     ckpt = CorpusCheckpoint(checkpoint_dir) if checkpoint_dir else None
     res = CorpusResult()

@@ -79,4 +79,8 @@ def test_medfilt_vs_reference_semantics():
     xp = np.concatenate([x[0] * np.ones(ad), x, x[-1] * np.ones(ad)])
     expected = np.asarray([np.median(xp[i:i + p]) for i in range(len(x))])
     got = np.asarray(compat.medfilt(x, p))
-    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-12)
+    # f64 exact; the f32 TPU tier casts the inputs (median is an order
+    # statistic, so the only error is the input rounding itself)
+    import jax
+    atol = 1e-12 if jax.config.jax_enable_x64 else 1e-6
+    np.testing.assert_allclose(got, expected, rtol=0, atol=atol)
