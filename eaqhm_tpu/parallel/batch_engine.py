@@ -23,6 +23,19 @@ Static-shape policy: the batch shares one padded length L, one frame grid,
 and the (W, Kc) bounds implied by the pitch floor f0min (per-frame window
 half-lengths and harmonic counts stay data-dependent *values* under fixed
 bounds, masked exactly as the per-utterance engine does).
+
+When to use which engine (round-4 on-chip measurement,
+tools/out/benchmarks_r4.json config 3): on a SINGLE device this engine is
+~8x slower per audio-second than models.engine.analyze — the pitch-floor
+(W, Kc) bounds and shared frame grid pad every utterance to worst-case
+geometry, and the lockstep loop runs every utterance to the batch's last
+convergence.  parallel.corpus.run_corpus_sharded therefore delegates
+degenerate meshes to the sequential engine; this module is the
+multi-device path, where the data/model-axis sharding is what buys
+throughput.  Known improvement direction for a future round: per-device
+utterance *streams* (independent per-utterance programs pinned per device)
+would inherit the sequential engine's tight per-utterance geometry while
+still scaling across chips.
 """
 from __future__ import annotations
 
