@@ -34,6 +34,8 @@ def main():
     res = engine.analyze(s, fs, cfg)
     warm = time.time() - t0
     print(f"warmup: {warm:.1f}s srer={max(res.srer):.6f}", file=sys.stderr)
+    print("warmup timings:", {k: round(v, 2) for k, v in
+                              res.timings.items()}, file=sys.stderr)
 
     times = []
     for _ in range(3):
