@@ -327,7 +327,7 @@ def _pitch_fn(plan, grid_step: int, length: int, dtype=None):
         t_grid = np.arange(0, length - 1, grid_step) / plan.fs
 
         @jax.jit
-        def fn(x):
+        def _eaqhm_pitch_swipe(x):
             f0s = swipe_mod.swipep(plan, x, dtype=x.dtype)
             grid = resample_f0_grid(f0s, jnp.asarray(t_grid, x.dtype),
                                     dtype=x.dtype)
@@ -342,12 +342,15 @@ def _pitch_fn(plan, grid_step: int, length: int, dtype=None):
         # entries load in ~6 s), so only the pitch program opts out.
         # Belt-and-braces: cache writes are asynchronous in jax, so a
         # pitch entry can land even with the flag toggled off around the
-        # compile — purge any on-disk jit_fn entries so no later process
-        # ever deserializes one.
+        # compile — purge on-disk entries for THIS closure only (the
+        # closure's unique name scopes the glob; purging a generic
+        # "jit_fn-*" prefix would delete unrelated programs sharing the
+        # cache dir).
         cache_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
         if cache_dir and os.path.isdir(cache_dir):
             import glob as _glob
-            for p in _glob.glob(os.path.join(cache_dir, "jit_fn-*")):
+            for p in _glob.glob(
+                    os.path.join(cache_dir, "jit__eaqhm_pitch_swipe-*")):
                 try:
                     os.remove(p)
                 except OSError:
@@ -356,14 +359,14 @@ def _pitch_fn(plan, grid_step: int, length: int, dtype=None):
             cache_flag = jax.config.jax_enable_compilation_cache
             jax.config.update("jax_enable_compilation_cache", False)
             try:
-                compiled = fn.lower(
+                compiled = _eaqhm_pitch_swipe.lower(
                     jax.ShapeDtypeStruct((length,), dtype)).compile()
             finally:
                 jax.config.update("jax_enable_compilation_cache",
                                   cache_flag)
             _PITCH_JIT_CACHE[key] = compiled
         except Exception:   # AOT unavailable: fall back to lazy jit
-            _PITCH_JIT_CACHE[key] = fn
+            _PITCH_JIT_CACHE[key] = _eaqhm_pitch_swipe
     return _PITCH_JIT_CACHE[key]
 
 
@@ -530,6 +533,8 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     (functions.py:35-418) with a host-side adaptation loop around jitted
     per-adaptation device work.
     """
+    from eaqhm_tpu import ensure_compile_cache
+    ensure_compile_cache()      # persistent cache, non-CPU backends only
     t_start = time.time()
     if config.dtype == "auto":
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

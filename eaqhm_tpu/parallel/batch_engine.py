@@ -487,11 +487,15 @@ def analyze_batch(signals: Sequence[np.ndarray], fs: int,
     vad.voiced_unvoiced_frames_host), adaptation 0, eaQHM loop with the
     per-utterance keep-previous-on-decline rule (functions.py:394-402).
     """
+    from eaqhm_tpu import ensure_compile_cache
     from eaqhm_tpu.parallel.corpus import pad_batch
 
+    ensure_compile_cache()      # persistent cache, non-CPU backends only
     dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
     if config.dtype == "float64":
         dtype = jnp.float64
+    elif config.dtype == "float32":
+        dtype = jnp.float32
     sig_np, lens = pad_batch([np.asarray(s, np.float64) for s in signals])
     B, L = sig_np.shape
     fs = int(fs)

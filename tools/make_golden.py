@@ -132,9 +132,15 @@ def std_rec(x, *a, **k):
     return _orig_std(x, *a, **k)
 functions.std = std_rec
 
+# Gender preset knob (GOLDEN_GENDER=male produces the male-preset oracle the
+# big-M robustness configs are checked against; default female matches the
+# README screenshot).  Output files are suffixed for non-female presets.
+GENDER = os.environ.get("GOLDEN_GENDER", "female")
+SUFFIX = "" if GENDER == "female" else "_" + GENDER
+
 t0 = time.time()
 s_recon, SRER, Det, endTime = functions.eaQHMAnalysisAndSynthesis(
-    "/root/reference/SA19.WAV", "female", printPrompts=True, loadingScreen=False)
+    "/root/reference/SA19.WAV", GENDER, printPrompts=True, loadingScreen=False)
 wall = time.time() - t0
 print("reference run done in %.1f s, SRER=%s" % (wall, SRER))
 
@@ -235,7 +241,7 @@ for j, (idx, fmr, phr, out) in enumerate(REC["phase_calls"][:40]):
     full[f"ph{j}_fm"] = fmr
     full[f"ph{j}_ph"] = phr
     full[f"ph{j}_out"] = out
-np.savez_compressed(os.path.join(OUTDIR, "local_sa19_full.npz"), **full)
+np.savez_compressed(os.path.join(OUTDIR, "local_sa19_full%s.npz" % SUFFIX), **full)
 
 # committed record: subsample LS calls 1/10
 small = dict(common)
@@ -249,9 +255,9 @@ for j, (idx, fmr, phr, out) in enumerate(REC["phase_calls"][:8]):
     small[f"ph{j}_fm"] = fmr.astype(np.float32)
     small[f"ph{j}_ph"] = phr.astype(np.float32)
     small[f"ph{j}_out"] = out
-np.savez_compressed(os.path.join(OUTDIR, "sa19_golden.npz"), **small)
+np.savez_compressed(os.path.join(OUTDIR, "sa19_golden%s.npz" % SUFFIX), **small)
 
 print("golden written:",
-      os.path.getsize(os.path.join(OUTDIR, "sa19_golden.npz")) // 1024, "KB small,",
-      os.path.getsize(os.path.join(OUTDIR, "local_sa19_full.npz")) // 1024, "KB full")
+      os.path.getsize(os.path.join(OUTDIR, "sa19_golden%s.npz" % SUFFIX)) // 1024, "KB small,",
+      os.path.getsize(os.path.join(OUTDIR, "local_sa19_full%s.npz" % SUFFIX)) // 1024, "KB full")
 print("SRER trajectory:", [float(x) for x in SRER])
