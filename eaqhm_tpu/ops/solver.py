@@ -53,6 +53,29 @@ def hamming_window(o, wl):
     return jnp.where(jnp.abs(o) <= wl, w, 0.0)
 
 
+def gj_inverse(R):
+    """Batched explicit inverse of small HPD/SPD blocks by UNROLLED
+    Gauss-Jordan elimination — pure VPU elementwise ops, no pivoting
+    (stable for (equilibrated) positive-definite blocks).
+
+    Replaces `jnp.linalg.inv` at the block-recursion leaves: XLA lowers
+    batched inv to a sequential LU custom-call that measured 8-11 ms per
+    [128,16,16] batch on TPU v5e (device trace, tools/profile_adapt.py,
+    2026-08-21) — 76 ms of a 320 ms adaptation was spent in these leaves
+    alone.  The unrolled loop fuses to microseconds.
+
+    R: [B, m, m] (m small, trace-unrolled); returns [B, m, m].
+    """
+    B, m, _ = R.shape
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=R.dtype), R.shape)
+    A = jnp.concatenate([R, eye], axis=-1)            # [B, m, 2m]
+    for j in range(m):
+        row = A[:, j, :] / A[:, j, j:j + 1]
+        A = A - A[:, :, j:j + 1] * row[:, None, :]
+        A = A.at[:, j, :].set(row)
+    return A[:, :, m:]
+
+
 def hpd_block_inverse(R, base: int = 16, precision=None):
     """Batched inverse of Hermitian-positive-definite matrices via recursive
     Schur-complement block inversion — GEMMs only, no triangular kernels.
@@ -73,7 +96,7 @@ def hpd_block_inverse(R, base: int = 16, precision=None):
         precision = jax.lax.Precision.HIGHEST
     M = R.shape[-1]
     if M <= base:
-        return jnp.linalg.inv(R)
+        return gj_inverse(R)
     m = (M // 2 + 7) & ~7 if M >= 32 else M // 2   # MXU-aligned split
     m = min(m, M - 1)
     P = R[..., :m, :m]
@@ -112,7 +135,7 @@ def spd_block_inverse(G, base: int = 16, precision=None):
         precision = jax.lax.Precision.HIGHEST
     M = G.shape[-1]
     if M <= base:
-        return jnp.linalg.inv(G)
+        return gj_inverse(G)
     m = (M // 2 + 7) & ~7 if M >= 32 else M // 2   # MXU-aligned split
     m = min(m, M - 1)
     P = G[..., :m, :m]
@@ -149,17 +172,23 @@ def default_solve_method(rdtype, M: int | None = None) -> str:
     """LS solve algorithm by dtype and (optionally) system size.
 
     f64 -> "cholesky" (XLA batched Cholesky + triangular solves;
-    bit-for-bit stable, used for CPU parity).  f32 -> size-dependent
-    (round-4 on-chip sweep, tools/out/solve_sweep.json): the recursive
-    Schur block inverse wins at M <= ~130 (tier Kc=32: 294 vs 299 ms) but
-    XLA Cholesky wins from M ~160 up (tier Kc=40: 155 vs 167 ms) and is
-    also numerically robust at the M >= ~250 tiers where the f32 complex
-    recursion collapses (round-4 lattice-E experiment).  "pallas"
-    (ops.pallas_chol) measured slower than both at every production tier
-    (365/244 ms vs 294/155) and stays opt-in."""
+    bit-for-bit stable, used for CPU parity).  f32 -> "block_inverse" for
+    every tier below M ~250: the round-5 device trace
+    (tools/profile_adapt.py, TPU v5e, 2026-08-21) showed ~199 ms of the
+    320 ms adaptation inside LAPACK-style custom-calls — 76 ms in the
+    recursion's old [128,<=16,<=16] `inv` LU leaves (8-11 ms each!) and
+    96 ms in the mid-M tiers' Cholesky/triangular panels.  With the
+    unrolled Gauss-Jordan leaves (gj_inverse) the custom-call-free
+    recursion beats Cholesky at BOTH mid tiers (SA19: 0.165 vs 0.252 vs
+    0.347 s/adaptation; tools/out/bench_history.jsonl r5 rows), retiring
+    the round-4 sweep's M >= 160 crossover (that sweep was polluted by the
+    slow LU leaves).  Cholesky remains the default at M >= 250 where the
+    f32 complex recursion loses accuracy (round-4 lattice-E collapse) —
+    the male/80 Hz big-M tiers.  "pallas" (ops.pallas_chol) measured
+    slower at every production tier and stays opt-in."""
     if rdtype == jnp.float64:
         return "cholesky"
-    if M is not None and M >= 160:
+    if M is not None and M >= 250:
         return "cholesky"
     return "block_inverse"
 
