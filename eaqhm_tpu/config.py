@@ -63,6 +63,17 @@ class EaqhmConfig:
     # collect per-adaptation accepted-harmonic counts (adds one small
     # device->host transfer per adaptation; off for max throughput)
     collect_metrics: bool = False
+    # run the WHOLE adaptation loop (adaptation 0 + eaQHM iterations +
+    # keep-previous-on-decline + DetComponents packaging) as ONE device
+    # dispatch via lax.while_loop — zero host round trips per adaptation.
+    # Measured on the r5 chip (tools/out/bench_history.jsonl): throughput
+    # parity with the host-driven loop (the per-step host sync is only a
+    # few ms on this backend) but ~4x slower first compile (184 s vs 40 s
+    # for the two split programs), so the host loop stays the default;
+    # the fused program remains available for deployments where host
+    # involvement must be zero (e.g. queueing many utterances back to
+    # back from one thread).
+    fused_adapt_loop: bool = False
     # quantize jit-visible shapes (signal length to 4096-sample pages,
     # tier capacities to the frame grid, window half-widths to multiples
     # of 8, harmonic tiers to a fixed lattice) so distinct utterances share

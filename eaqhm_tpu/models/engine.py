@@ -515,6 +515,80 @@ def _scatter_and_interp(a0_val, am, fm, ph, acc, centers, length: int,
     return a0_interp, am_f, fm_f, ph_f, fm_cur, s_rec
 
 
+@partial(jax.jit,
+         static_argnames=("geom", "fs", "chunk", "length", "step", "No",
+                          "method", "max_adpt"))
+def _adapt_loop_full(s, buckets0, bucketsN, centers, f0_stale, do_update,
+                     det, std_det, n_valid, geom, fs: float, chunk: int,
+                     length: int, step: int, No: int, method,
+                     max_adpt: int):
+    """The ENTIRE adaptation phase as ONE device dispatch: adaptation 0,
+    the eaQHM loop (lax.while_loop), the keep-previous-on-decline rule
+    (reference functions.py:394-402) and the DetComponents packaging gather.
+
+    The host-driven loop pays one dispatch + one scalar-fetch round trip
+    per adaptation (~40-60 ms each through the remote TPU tunnel, vs a
+    ~132 ms device step — tools/profile_adapt.py device trace); fusing the
+    loop removes every per-adaptation host sync.  The while_loop stops
+    EXACTLY at the reference's decline test, so no speculative work is
+    wasted and the device queue is never left with orphan steps.
+
+    Returns (srer_hist [max_adpt+1], n_done, pkg_stk, pkg_vec): entries
+    srer_hist[:n_done] are valid; pkg_* hold the kept (last-improving)
+    adaptation's packaged DetComponents + reconstruction.
+    """
+    dtype = s.dtype
+    h_base = jnp.asarray(f0_stale, dtype)
+    (a0_i, am_f, fm_f, ph_f, fm_cur, s_rec, srer0) = _adapt0_full(
+        s, buckets0, centers, det, std_det, n_valid, geom=geom, fs=fs,
+        chunk=chunk, length=length, step=step, No=No, method=method)
+    stk0, vec0 = _package_strided(am_f, fm_f, ph_f, a0_i, s_rec, step, No)
+    hist = jnp.full(max_adpt + 1, jnp.nan, dtype).at[0].set(srer0)
+
+    def cond(c):
+        a, *_, stop = c
+        return (a <= max_adpt) & ~stop
+
+    def body(c):
+        (a, fm_c, am_c, prev_srer, pstk, pvec, hist, _stop) = c
+        h = h_base / (a + 1).astype(dtype)
+        (a0_i, am_f, fm_f, ph_f, fm_n, s_rec, srer) = _adapt_full(
+            s, fm_c, am_c, bucketsN, centers, h, do_update, det, std_det,
+            n_valid, geom=geom, fs=fs, chunk=chunk, length=length,
+            step=step, No=No, method=method)
+        improved = srer > prev_srer
+        nstk, nvec = _package_strided(am_f, fm_f, ph_f, a0_i, s_rec, step,
+                                      No)
+        pstk = jnp.where(improved, nstk, pstk)
+        pvec = jnp.where(improved, nvec, pvec)
+        hist = hist.at[a].set(srer)
+        return (a + 1, fm_n, am_f, srer, pstk, pvec, hist, ~improved)
+
+    init = (jnp.asarray(1, jnp.int32), fm_cur, am_f, srer0, stk0, vec0,
+            hist, jnp.asarray(False))
+    a_end, _fm, _am, _srer, pstk, pvec, hist, stop = jax.lax.while_loop(
+        cond, body, init)
+    # a_end = 1 + last computed adaptation index; entries 0..a_end-1 valid
+    return hist, a_end, pstk, pvec
+
+
+@partial(jax.jit, static_argnames=("step", "No"))
+def _package_strided(am, fm, ph, a0, s_recon, step: int, No: int):
+    """DetComponents packaging via STRIDED SLICES: the analysis grid is
+    uniform (centers = arange(No) * step, all < length), so the anchor rows
+    are a strided slice of the dense tracks — measured 8.6 ms as an XLA
+    gather vs ~1 ms as a slice (fusion.19 in the r5 device trace).
+    Returns (stk [3, No, Kc], vec [No + L])."""
+    hi = (No - 1) * step + 1
+
+    def rows(x):
+        return x[:hi:step]
+
+    stk = jnp.stack([rows(am), rows(fm), rows(ph)])
+    vec = jnp.concatenate([rows(a0), s_recon])
+    return stk, vec
+
+
 @jax.jit
 def _package(am, fm, ph, a0, s_recon, centers):
     """Fused DetComponents gather: stack the three [No, Kc] track gathers
@@ -794,6 +868,36 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     timings = {}
     metrics: List[dict] = []
 
+    # ---- fused adaptation loop: ONE dispatch for the whole phase ----
+    fused_env = os.environ.get("EAQHM_FUSED_LOOP")
+    fused_on = (config.fused_adapt_loop if fused_env is None
+                else fused_env != "0")
+    use_fused = (fused_on and config.stop_on_decline
+                 and not config.collect_metrics)
+    if use_fused:
+        t_a = time.time()
+        with jax.profiler.TraceAnnotation("eaqhm/adapt_loop"):
+            hist_d, n_done_d, stk_d, vec_d = _adapt_loop_full(
+                s, bucket_args0, bucket_argsN, centers_j,
+                f0_stale, bool(f0_stale > f0min), det_j, std_det_j, n_valid,
+                geom=geom, fs=float(fs), chunk=fplan.chunk, length=Lpad,
+                step=step, No=No_pad, method=method,
+                max_adpt=int(config.max_adaptations))
+            n_done = int(n_done_d)
+            hist_np = np.asarray(hist_d, np.float64)
+            fetched = (np.asarray(stk_d), np.asarray(vec_d))
+        srer = [float(x) for x in hist_np[:n_done]]
+        dt = time.time() - t_a
+        timings["adapt_loop"] = dt
+        for a, v in enumerate(srer):
+            metrics.append({"adaptation": a, "srer_db": v,
+                            "seconds": dt / max(n_done, 1)})
+            if verbose:
+                print(f"SRER: {v} dB in Adaptation No: {a}")
+        return _finish_result(
+            srer, fetched, centers, No_ti, length, in_margin, voiced,
+            t_start, f0_grid_np, timings, stage_t, metrics)
+
     # loadingScreen analogue (reference functions.py:173-181): live bar over
     # the adaptation loop with the SRER trajectory as it lands
     from eaqhm_tpu.utils.progress import progress_bar
@@ -862,9 +966,18 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # instead of the dense [length, K] tracks (~15 MB each via the tunnel);
     # one fused dispatch + two transfers (usually already fetched inside
     # the loop) instead of five sequential dispatch+transfer round trips
-    t_s = time.time()
     if fetched is None:
         fetched = (np.asarray(pending[0]), np.asarray(pending[1]))
+    return _finish_result(srer, fetched, centers, No_ti, length, in_margin,
+                          voiced, t_start, f0_grid_np, timings, stage_t,
+                          metrics)
+
+
+def _finish_result(srer, fetched, centers, No_ti, length, in_margin, voiced,
+                   t_start, f0_grid_np, timings, stage_t, metrics):
+    """Unpack the fetched DetComponents package into an EaqhmResult
+    (reference functions.py:404-411 packaging semantics)."""
+    t_s = time.time()
     stk, vec = fetched
     No_grid = stk.shape[1]
     am_fin, fm_fin, ph_fin = (stk[0][:No_ti], stk[1][:No_ti],
@@ -874,7 +987,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     stage_t["packaging"] = time.time() - t_s
     timings.update(stage_t)
     nz = am_fin != 0
-    result = EaqhmResult(
+    return EaqhmResult(
         s_recon=s_recon_np,
         srer=srer,
         det_ti=centers[:No_ti],
@@ -891,7 +1004,6 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         timings=timings,
         metrics=metrics,
     )
-    return result
 
 
 def eaqhm_analysis_and_synthesis(speech_file: str, gender="other",

@@ -149,6 +149,31 @@ def test_engine_metrics_collection():
         assert np.isfinite(m["srer_db"])
 
 
+def test_fused_adapt_loop_matches_host_loop():
+    """The single-dispatch lax.while_loop adaptation phase
+    (engine._adapt_loop_full) must reproduce the host-driven loop exactly:
+    same SRER trajectory, same kept reconstruction, same DetComponents
+    (keep-previous-on-decline semantics, reference functions.py:394-402)."""
+    from eaqhm_tpu.models import engine
+    fs = 16000
+    t = np.arange(fs) / fs
+    s = sum(0.3 / k * np.sin(2 * np.pi * k * 210 * t) for k in range(1, 5))
+    cfg_host = EaqhmConfig(gender=(150.0, 250.0), max_adaptations=3,
+                           fused_adapt_loop=False)
+    cfg_fused = EaqhmConfig(gender=(150.0, 250.0), max_adaptations=3,
+                            fused_adapt_loop=True)
+    r_host = engine.analyze(s, fs, cfg_host)
+    r_fused = engine.analyze(s, fs, cfg_fused)
+    assert len(r_host.srer) == len(r_fused.srer)
+    np.testing.assert_allclose(r_fused.srer, r_host.srer, atol=1e-9)
+    # the while-loop module fuses the same graph differently than the
+    # standalone step programs, so near-zero margin samples can differ at
+    # denormal scale (~1e-24 observed); assert to f64 noise, not bitwise
+    np.testing.assert_allclose(r_fused.s_recon, r_host.s_recon, atol=1e-12)
+    np.testing.assert_allclose(r_fused.det_ak, r_host.det_ak, atol=1e-12)
+    np.testing.assert_allclose(r_fused.det_pk, r_host.det_pk, atol=1e-10)
+
+
 # ---------------------------------------------------------- data model shim
 
 def test_structs_from_result():
