@@ -6,6 +6,7 @@ Usage:
     python -m eaqhm_tpu.benchmarks --config 3      # batch of 64 utterances
     python -m eaqhm_tpu.benchmarks --config 4      # 60 s / f0=80 Hz stress
     python -m eaqhm_tpu.benchmarks --config 5      # sharded corpus step
+    python -m eaqhm_tpu.benchmarks --config 6      # per-device streams
 
 Each prints one JSON line {"metric", "value", "unit", ...}.  The baseline
 audio-s/s is the reference's single-core rate measured in this container
@@ -205,13 +206,67 @@ def bench_config5(n_utts=16, repeats=1, seconds=2.0):
           elapsed_s=round(res.elapsed, 3))
 
 
+def bench_config6(n_utts=16, repeats=2, seconds=2.0):
+    """Per-device utterance streams (parallel.streams) vs the sequential
+    engine on EQUAL work — the program-level data-parallel corpus path
+    (VERDICT r4 item 4: each device runs the tight per-utterance geometry;
+    nothing is padded to the batch worst case, nobody waits for the
+    batch's last convergence).
+
+    Reports both throughputs and the scaling efficiency
+      streams_audio_s_per_s / (n_devices * sequential_audio_s_per_s).
+    On the single real TPU chip n_devices == 1 and the efficiency IS the
+    streams-path overhead measurement; on the 8-virtual-CPU-device host
+    the devices share two physical cores, so wall-clock efficiency is
+    core-bound — per-device busy stats are reported for that case.
+    """
+    import jax
+    from eaqhm_tpu.config import EaqhmConfig
+    from eaqhm_tpu.models import engine
+    from eaqhm_tpu.parallel.streams import run_streams
+
+    sigs, fs = _corpus_signals(n_utts, seconds=seconds)
+    cfg = EaqhmConfig(gender="female", max_adaptations=6)
+    devices = jax.local_devices()
+    audio = n_utts * seconds
+
+    # sequential single-device reference on the same work
+    for s in sigs[:2]:
+        engine.analyze(s, fs, cfg)                   # warmup/compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        for s in sigs:
+            engine.analyze(s, fs, cfg)
+        times.append(time.time() - t0)
+    seq_rate = audio / min(times)
+
+    out = run_streams(sigs, fs, cfg, devices=devices)   # warmup per device
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = run_streams(sigs, fs, cfg, devices=devices)
+        times.append(time.time() - t0)
+    el = min(times)
+    stream_rate = audio / el
+    _emit("corpus_streams_per_device", stream_rate,
+          sequential_1dev=round(seq_rate, 4),
+          n_devices=len(devices),
+          scaling_efficiency=round(
+              stream_rate / (len(devices) * seq_rate), 4),
+          srer_mean_db=round(out.srer_mean, 3),
+          failed=len(out.failed), per_device=out.per_device,
+          elapsed_s=round(el, 3))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="eaqhm_tpu.benchmarks")
-    p.add_argument("--config", type=int, default=1, choices=[1, 2, 3, 4, 5])
+    p.add_argument("--config", type=int, default=1,
+                   choices=[1, 2, 3, 4, 5, 6])
     p.add_argument("--repeats", type=int, default=3)
     args = p.parse_args(argv)
     fn = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-          4: bench_config4, 5: bench_config5}[args.config]
+          4: bench_config4, 5: bench_config5, 6: bench_config6}[args.config]
     if args.config in (1, 2):
         fn(repeats=args.repeats)
     elif args.config == 4:

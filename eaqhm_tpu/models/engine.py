@@ -10,6 +10,7 @@ rule (functions.py:394-402) stay host-side.
 from __future__ import annotations
 
 import os
+import threading
 import time
 from collections import OrderedDict
 from dataclasses import dataclass, field
@@ -308,17 +309,30 @@ def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
 # evict oldest-first instead of growing without bound (VERDICT r2 weak #8).
 _PITCH_JIT_CACHE_MAX = 16
 _PITCH_JIT_CACHE = OrderedDict()
+# parallel.streams drives analyze() from one thread per device; the LRU
+# mutations below must not interleave
+_PITCH_JIT_LOCK = threading.Lock()
 
 
-def _pitch_fn(plan, grid_step: int, length: int, dtype=None):
+def _pitch_fn(plan, grid_step: int, length: int, dtype=None, device=None):
     """One fused jit: SWIPE' + 5 ms f0-grid resample (minimizes dispatches;
-    each device call costs ~30 ms through the remote tunnel)."""
+    each device call costs ~30 ms through the remote tunnel).
+
+    device: non-None pins execution to that device (per-device utterance
+    streams, parallel.streams): the callable is a plain jit dispatched on
+    the committed input instead of the default-device AOT executable."""
     # key on the plan's defining parameters (id() could be reused after the
     # make_plan lru cache evicts an entry)
     if dtype is None:
         dtype = (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
     key = (plan.fs, float(plan.pc[0]), float(plan.pc[-1]), plan.length,
-           grid_step, length, jnp.dtype(dtype).name)
+           grid_step, length, jnp.dtype(dtype).name,
+           None if device is None else str(device))
+    with _PITCH_JIT_LOCK:
+        return _pitch_fn_locked(plan, grid_step, length, dtype, device, key)
+
+
+def _pitch_fn_locked(plan, grid_step, length, dtype, device, key):
     if key in _PITCH_JIT_CACHE:
         _PITCH_JIT_CACHE.move_to_end(key)
     else:
@@ -355,6 +369,11 @@ def _pitch_fn(plan, grid_step: int, length: int, dtype=None):
                     os.remove(p)
                 except OSError:
                     pass
+        if device is not None:
+            # stream mode: committed input selects the device; AOT would
+            # pin to the default device
+            _PITCH_JIT_CACHE[key] = _eaqhm_pitch_swipe
+            return _PITCH_JIT_CACHE[key]
         try:
             cache_flag = jax.config.jax_enable_compilation_cache
             jax.config.update("jax_enable_compilation_cache", False)
@@ -600,16 +619,27 @@ def _package(am, fm, ph, a0, s_recon, centers):
 
 
 def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
-            verbose: bool = False) -> EaqhmResult:
+            verbose: bool = False, device=None) -> EaqhmResult:
     """Full eaQHM analysis/synthesis of one utterance.
 
     Mirrors reference `eaQHMAnalysisAndSynthesis(speechFile, ...)`
     (functions.py:35-418) with a host-side adaptation loop around jitted
     per-adaptation device work.
+
+    device: optional jax.Device — commits every uploaded array to that
+    device so the whole utterance executes there (per-device utterance
+    streams, parallel.streams; computation follows committed inputs).
     """
     from eaqhm_tpu import ensure_compile_cache
     ensure_compile_cache()      # persistent cache, non-CPU backends only
     t_start = time.time()
+
+    def _up(x, dt=None):
+        """Host->device upload, committed to `device` in stream mode."""
+        a = np.asarray(x, dt) if dt is not None else np.asarray(x)
+        if device is None:
+            return jnp.asarray(a)
+        return jax.device_put(a, device)
     if config.dtype == "auto":
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     else:
@@ -638,7 +668,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         else length
     stage_t = {}
     t_s = time.time()
-    s = jnp.asarray(np.pad(s_np, (0, Lpad - length)), dtype)
+    s = _up(np.pad(s_np, (0, Lpad - length)), dtype)
     stage_t["signal_upload"] = time.time() - t_s
 
     f0min, f0max = config.pitch_limits
@@ -665,7 +695,8 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
         # async dispatch: JAX returns futures; the host VAD below runs
         # while the device computes SWIPE', and the f0-grid fetch after it
         # is the only sync point
-        f0s, f0_grid = _pitch_fn(plan, grid_step, Lpad, s.dtype)(s)
+        f0s, f0_grid = _pitch_fn(plan, grid_step, Lpad, s.dtype,
+                                 device=device)(s)
     stage_t["pitch_dispatch"] = time.time() - t_s
 
     # ---- VAD (host f64; exact reference parity) + fullWaveform fixup ----
@@ -702,7 +733,7 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     v_vo_np = np.asarray(v_vo)
     v_sp_np = np.asarray(v_sp)
     std_det = float(np.std(det))
-    det_j = jnp.asarray(np.pad(det, (0, Lpad - length)), dtype)
+    det_j = _up(np.pad(det, (0, Lpad - length)), dtype)
 
     # ---- frame geometry (host; static shapes for jit) ----
     # anchor/scatter grid spans the padded length (static shapes); frames
@@ -842,24 +873,24 @@ def analyze(signal, fs: int, config: EaqhmConfig = EaqhmConfig(),
     # ONCE (each jnp.asarray is a separate host->device transfer through the
     # tunnel; re-uploading ~10 arrays per adaptation cost ~20 ms each step)
     bucket_args0 = tuple(
-        (jnp.asarray(_padded(gi, gi, No_pad, n)),
-         jnp.asarray(_padded(gi, centers[gi], 0, n)),
-         jnp.asarray(_padded(gi, f0_frame[gi], 100.0, n), dtype),
-         jnp.asarray(_padded(gi, K_frame[gi], 0, n)),
-         jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
+        (_up(_padded(gi, gi, No_pad, n)),
+         _up(_padded(gi, centers[gi], 0, n)),
+         _up(_padded(gi, f0_frame[gi], 100.0, n), dtype),
+         _up(_padded(gi, K_frame[gi], 0, n)),
+         _up(_padded(gi, wl_frame[gi], 0, n)))
         for gi, n in buckets)
     # padding entries: dump frame index No_pad, dummy center 0, wl 0
     # (zero window -> identity solve), K 0 (no live columns)
     bucket_argsN = tuple(
-        (jnp.asarray(_padded(gi, gi, No_pad, n)),
-         jnp.asarray(_padded(gi, centers[gi], 0, n)),
-         jnp.asarray(_padded(gi, wl_frame[gi], 0, n)))
+        (_up(_padded(gi, gi, No_pad, n)),
+         _up(_padded(gi, centers[gi], 0, n)),
+         _up(_padded(gi, wl_frame[gi], 0, n)))
         for gi, n in buckets)
 
     geom = tuple(geom)
-    centers_j = jnp.asarray(centers)
-    n_valid = jnp.asarray(length, jnp.int32)
-    std_det_j = jnp.asarray(std_det, dtype)
+    centers_j = _up(centers)
+    n_valid = _up(length, jnp.int32)
+    std_det_j = _up(std_det, dtype)
     method = None if config.solve_method == "auto" else config.solve_method
     stage_t["host_geometry"] = time.time() - t_s
 

@@ -48,9 +48,11 @@ class TestSwipe:
             # f32 (EAQHM_TPU_TESTS=1): near-tie argmax decisions between
             # adjacent 1/96-octave candidates can flip under f32 strength
             # rounding; bound the rate and the error everywhere else
-            # (chip-measured 2026-08-21: median 1.5e-6, flip rate 2.0%)
+            # (chip-measured 2026-08-21: median 1.5e-6, flip rate 2.0% —
+            # bound set at 3% so a further ~1.5x regression fails, ADVICE
+            # r4 item 5)
             assert np.median(rel) < 1e-5, np.median(rel)
-            assert (rel > 1e-3).mean() < 0.05, (rel > 1e-3).mean()
+            assert (rel > 1e-3).mean() < 0.03, (rel > 1e-3).mean()
 
     def test_pitch_within_limits(self, plan, sa19):
         fs, s = sa19

@@ -7,7 +7,8 @@ item 2: every perf-touching commit carries a measured number from
 HEAD-at-commit).
 
 Usage:  python tools/bench_quick.py [note...]
-Toggles (env): EAQHM_PLANAR, EAQHM_PHASE_SPLIT, EAQHM_FUSED, EAQHM_LATTICE.
+Toggles (env): EAQHM_PLANAR, EAQHM_PHASE_SPLIT, EAQHM_FUSED, EAQHM_FUSED_LOOP,
+EAQHM_CHUNK, EAQHM_SOLVE_METHOD, EAQHM_REFINE.
 """
 import json
 import os
