@@ -562,7 +562,9 @@ def _adapt_loop_full(s, buckets0, bucketsN, centers, f0_stale, do_update,
         s, buckets0, centers, det, std_det, n_valid, geom=geom, fs=fs,
         chunk=chunk, length=length, step=step, No=No, method=method)
     stk0, vec0 = _package_strided(am_f, fm_f, ph_f, a0_i, s_rec, step, No)
-    hist = jnp.full(max_adpt + 1, jnp.nan, dtype).at[0].set(srer0)
+    # sentinel 0.0 (not NaN: the CI tier runs under jax_debug_nans);
+    # entries beyond n_done are never read
+    hist = jnp.zeros(max_adpt + 1, dtype).at[0].set(srer0)
 
     def cond(c):
         a, *_, stop = c
