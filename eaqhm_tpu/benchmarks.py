@@ -35,6 +35,18 @@ def _sa19():
     return read_wav("/root/reference/SA19.WAV")
 
 
+def _env_cfg_kw():
+    """EAQHM_SOLVE_METHOD / EAQHM_CHUNK env overrides (solve-method sweeps;
+    mirrors tools/bench_quick.py)."""
+    import os
+    kw = {}
+    if os.environ.get("EAQHM_SOLVE_METHOD"):
+        kw["solve_method"] = os.environ["EAQHM_SOLVE_METHOD"]
+    if os.environ.get("EAQHM_CHUNK"):
+        kw["chunk"] = int(os.environ["EAQHM_CHUNK"])
+    return kw
+
+
 def _timed_analyze(s, fs, cfg, repeats=3):
     from eaqhm_tpu.models import engine
     res = engine.analyze(s, fs, cfg)            # warmup/compile
@@ -50,7 +62,8 @@ def bench_config1(repeats=3):
     """SA19, default female params, full adaptation loop to convergence."""
     from eaqhm_tpu.config import EaqhmConfig
     fs, s = _sa19()
-    res, el = _timed_analyze(s, fs, EaqhmConfig(gender="female"), repeats)
+    res, el = _timed_analyze(s, fs, EaqhmConfig(gender="female",
+                                                **_env_cfg_kw()), repeats)
     _emit("sa19_default", (len(s) / fs) / el,
           final_srer_db=round(float(np.max(res.srer)), 6), elapsed_s=round(el, 3))
 
@@ -62,7 +75,8 @@ def bench_config2(repeats=3):
     out = {}
     total_audio = total_time = 0.0
     for gender in ("female", "male", "child"):
-        cfg = EaqhmConfig(gender=gender, fc=30.0, full_waveform=True)
+        cfg = EaqhmConfig(gender=gender, fc=30.0, full_waveform=True,
+                          **_env_cfg_kw())
         res, el = _timed_analyze(s, fs, cfg, repeats=max(1, repeats - 1))
         out[gender] = round(float(np.max(res.srer)), 4)
         total_audio += len(s) / fs
@@ -153,7 +167,12 @@ def bench_config3(batch=8, repeats=2, seconds=2.0):
 
 
 def bench_config4(repeats=1):
-    """Stress: 60 s utterance, low f0 (80 Hz) -> full-band harmonic count."""
+    """Stress: 60 s utterance, low f0 (80 Hz) -> full-band harmonic count.
+
+    EAQHM_SOLVE_METHOD overrides the LS solve algorithm (the big-M tier
+    sweep, solver.default_solve_method docstring); EAQHM_CHUNK the lax.map
+    chunk size — mirroring tools/bench_quick.py's toggles."""
+    import os
     from eaqhm_tpu.config import EaqhmConfig
     fs = 16000
     seconds = 60.0
@@ -162,11 +181,13 @@ def bench_config4(repeats=1):
     phase = 2 * np.pi * np.cumsum(f0) / fs
     s = sum((0.25 / k) * np.sin(k * phase) for k in range(1, 12))
     s += 0.01 * np.random.default_rng(1).normal(size=len(s))
-    cfg = EaqhmConfig(gender="male", max_adaptations=10)
+    cfg = EaqhmConfig(gender="male", max_adaptations=10, **_env_cfg_kw())
     res, el = _timed_analyze(s, fs, cfg, repeats)
     _emit("stress_60s_f080", seconds / el,
           final_srer_db=round(float(np.max(res.srer)), 4),
-          n_adaptations=len(res.srer), elapsed_s=round(el, 3))
+          n_adaptations=len(res.srer), elapsed_s=round(el, 3),
+          toggles={k: v for k, v in os.environ.items()
+                   if k.startswith("EAQHM_") and k != "EAQHM_JAX_CACHE"})
 
 
 def bench_config5(n_utts=16, repeats=1, seconds=2.0):

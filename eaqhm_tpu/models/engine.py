@@ -5,7 +5,9 @@ Design (SURVEY.md §7): arrays over structs — dense [length, K] track arrays
 with boolean masks replace per-frame Python loops; each adaptation is jitted
 work (batched LS solves + acceptance + track interpolation + synthesis); the
 <=11-iteration adaptation loop and its keep-previous-on-decline convergence
-rule (functions.py:394-402) stay host-side.
+rule (functions.py:394-402) run host-side by default, or as ONE fused
+device program (lax.while_loop, `_adapt_loop_full`) when
+EaqhmConfig.fused_adapt_loop is set.
 """
 from __future__ import annotations
 

@@ -38,6 +38,16 @@ import jax.numpy as jnp
 _PLANAR = os.environ.get("EAQHM_PLANAR", "0") != "0"
 _PHASE_SPLIT = os.environ.get("EAQHM_PHASE_SPLIT", "1") != "0"
 _REFINE = int(os.environ.get("EAQHM_REFINE", "2"))
+# Gauss-Jordan leaf size of the block recursions (gj_inverse unrolls this
+# many elimination steps; larger = fewer recursion levels/concats, more
+# VPU work per leaf)
+_GJ_BASE = int(os.environ.get("EAQHM_GJ_BASE", "16"))
+# Gram-contraction precision: "highest" (6-pass f32 emulation, production
+# default — see build_gram) vs "high" (3-pass) for perf experiments
+_GRAM_PREC = {"highest": jax.lax.Precision.HIGHEST,
+              "high": jax.lax.Precision.HIGH,
+              "default": jax.lax.Precision.DEFAULT}[
+    os.environ.get("EAQHM_GRAM_PREC", "highest")]
 
 
 def blackman_window(o, wl):
@@ -76,7 +86,7 @@ def gj_inverse(R):
     return A[:, :, m:]
 
 
-def hpd_block_inverse(R, base: int = 16, precision=None):
+def hpd_block_inverse(R, base: int = None, precision=None):
     """Batched inverse of Hermitian-positive-definite matrices via recursive
     Schur-complement block inversion — GEMMs only, no triangular kernels.
 
@@ -94,6 +104,8 @@ def hpd_block_inverse(R, base: int = 16, precision=None):
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
+    if base is None:
+        base = _GJ_BASE
     M = R.shape[-1]
     if M <= base:
         return gj_inverse(R)
@@ -113,7 +125,7 @@ def hpd_block_inverse(R, base: int = 16, precision=None):
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def spd_block_inverse(G, base: int = 16, precision=None):
+def spd_block_inverse(G, base: int = None, precision=None):
     """Batched inverse of real symmetric-positive-definite matrices via the
     same recursive Schur-complement block recursion as hpd_block_inverse.
 
@@ -133,6 +145,8 @@ def spd_block_inverse(G, base: int = 16, precision=None):
     """
     if precision is None:
         precision = jax.lax.Precision.HIGHEST
+    if base is None:
+        base = _GJ_BASE
     M = G.shape[-1]
     if M <= base:
         return gj_inverse(G)
@@ -203,7 +217,7 @@ def build_gram(E, w, s_win, colmask):
     to bf16-multiply passes whose error is amplified by cond(R) in the solve
     (measured ~0.8 dB per-adaptation SRER drift at default precision).
     """
-    hp = jax.lax.Precision.HIGHEST
+    hp = _GRAM_PREC
     Ew = E * w[..., None].astype(E.dtype)
     R = jnp.einsum("bnm,bnp->bmp", jnp.conj(Ew), Ew, precision=hp)
     # identity rows for padded columns keep R nonsingular without touching

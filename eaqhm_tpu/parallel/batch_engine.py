@@ -31,11 +31,12 @@ tools/out/benchmarks_r4.json config 3): on a SINGLE device this engine is
 geometry, and the lockstep loop runs every utterance to the batch's last
 convergence.  parallel.corpus.run_corpus_sharded therefore delegates
 degenerate meshes to the sequential engine; this module is the
-multi-device path, where the data/model-axis sharding is what buys
-throughput.  Known improvement direction for a future round: per-device
-utterance *streams* (independent per-utterance programs pinned per device)
-would inherit the sequential engine's tight per-utterance geometry while
-still scaling across chips.
+multi-device path for a SINGLE long utterance (model-parallel frames/
+harmonics).  For corpus throughput across devices, parallel.streams (r5)
+runs independent per-utterance programs pinned per device — it inherits
+the sequential engine's tight per-utterance geometry while scaling across
+chips, and is the preferred data-parallel path; this module remains the
+one that shards WITHIN an utterance.
 """
 from __future__ import annotations
 
