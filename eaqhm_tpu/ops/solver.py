@@ -186,23 +186,25 @@ def default_solve_method(rdtype, M: int | None = None) -> str:
     """LS solve algorithm by dtype and (optionally) system size.
 
     f64 -> "cholesky" (XLA batched Cholesky + triangular solves;
-    bit-for-bit stable, used for CPU parity).  f32 -> "block_inverse" for
-    every tier below M ~250: the round-5 device trace
-    (tools/profile_adapt.py, TPU v5e, 2026-08-21) showed ~199 ms of the
-    320 ms adaptation inside LAPACK-style custom-calls — 76 ms in the
-    recursion's old [128,<=16,<=16] `inv` LU leaves (8-11 ms each!) and
-    96 ms in the mid-M tiers' Cholesky/triangular panels.  With the
-    unrolled Gauss-Jordan leaves (gj_inverse) the custom-call-free
-    recursion beats Cholesky at BOTH mid tiers (SA19: 0.165 vs 0.252 vs
-    0.347 s/adaptation; tools/out/bench_history.jsonl r5 rows), retiring
-    the round-4 sweep's M >= 160 crossover (that sweep was polluted by the
-    slow LU leaves).  Cholesky remains the default at M >= 250 where the
-    f32 complex recursion loses accuracy (round-4 lattice-E collapse) —
-    the male/80 Hz big-M tiers.  "pallas" (ops.pallas_chol) measured
-    slower at every production tier and stays opt-in."""
+    bit-for-bit stable, used for CPU parity).  f32 -> "block_inverse" at
+    EVERY size: the round-5 device trace (tools/profile_adapt.py, TPU
+    v5e, 2026-08-21) showed ~199 ms of the 320 ms adaptation inside
+    LAPACK-style custom-calls — 76 ms in the recursion's old
+    [128,<=16,<=16] `inv` LU leaves (8-11 ms each!) and 96 ms in the
+    mid-M tiers' Cholesky/triangular panels.  With the unrolled
+    Gauss-Jordan leaves (gj_inverse) the custom-call-free recursion beats
+    Cholesky at every measured tier, INCLUDING the big-M ones the round-4
+    crossover reserved for Cholesky (that sweep was polluted by the slow
+    LU leaves): SA19 0.165 vs 0.347 s/adaptation; stress config 4
+    (M~386/514) 26.4x vs 20.4x; male preset (M~450 real speech) config 2
+    238.8x vs 188.4x — all at IDENTICAL final SRER to 4 decimals
+    (tools/out/bench_history.jsonl + benchmarks_r5.json).  A
+    NaN-triggered ridged-Cholesky rerun backs the recursion on
+    pathological batches (solve_gram).  "pallas" (ops.pallas_chol)
+    measured slower at every production tier and stays opt-in; the planar
+    real-SPD embedding measured 23.8x on config 4 — between Cholesky and
+    the complex recursion — retiring its M>=250 hypothesis."""
     if rdtype == jnp.float64:
-        return "cholesky"
-    if M is not None and M >= 250:
         return "cholesky"
     return "block_inverse"
 
@@ -274,7 +276,8 @@ def solve_gram(R, rhs, rdtype, method=None):
         # recursive Schur-complement inverse: GEMMs only (MXU); matches the
         # reference's inv()-based solve policy (functions.py:465,530).
         # Complex recursion by default — the planar real-SPD embedding is
-        # ~40% slower end-to-end at production shapes (round-4 bisect; see
+        # ~40% slower end-to-end at production shapes (round-4 bisect and
+        # re-confirmed at the r5 M~514 stress tiers: 23.8x vs 26.4x; see
         # hpd_inverse_planar docstring).  Iterative-refinement steps push
         # the f32 inverse error from ~cond(R)*eps to ~(cond(R)*eps)^3: the
         # inverse is only a preconditioner, the residual GEMVs carry the
@@ -284,6 +287,28 @@ def solve_gram(R, rhs, rdtype, method=None):
         for _ in range(_REFINE):
             r = rhs - jnp.einsum("bmp,bp->bm", R, x, precision=hp)
             x = x + jnp.einsum("bmp,bp->bm", Ri, r, precision=hp)
+        if rdtype != jnp.float64:
+            # belt-and-braces (SURVEY §5 failure handling): if a
+            # pathological batch overflows the f32 recursion, rerun it as
+            # ridged Cholesky + refinement — same fallback the cholesky
+            # branch uses.  Healthy tiers never take the branch (the cond
+            # predicate is one reduction over x).
+            def _ridge_rerun(_):
+                eye = jnp.eye(R.shape[-1], dtype=R.dtype)
+                Lj = jnp.linalg.cholesky(R + 1e-5 * eye)
+
+                def tri(b):
+                    y = jax.scipy.linalg.solve_triangular(
+                        Lj, b[..., None], lower=True)
+                    return jax.scipy.linalg.solve_triangular(
+                        Lj, y, lower=True, trans="C")[..., 0]
+
+                xj = tri(rhs)
+                r = rhs - jnp.einsum("bmp,bp->bm", R, xj, precision=hp)
+                return xj + tri(r)
+
+            x = jax.lax.cond(jnp.all(jnp.isfinite(
+                jnp.real(x) + jnp.imag(x))), lambda _: x, _ridge_rerun, 0)
     else:
         # batched Cholesky + two triangular solves (2.7x faster than LU on
         # TPU — no pivoting; measured 388ms vs 1035ms for [4352,238,238] c64)
