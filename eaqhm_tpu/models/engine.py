@@ -164,6 +164,13 @@ def dead_overlay_windows(fm_k, am_k, rows, dead_center, dd, o, Kc: int):
     return fm_win, am_win
 
 
+def _combined_gather() -> bool:
+    """Pack (fm, am, s, dead) into one table so each chunk does ONE
+    row-gather instead of four (see _eaqhm_bucket).  Default ON pending
+    the r5 trace A/B; EAQHM_COMBINED_GATHER=0 restores separate gathers."""
+    return os.environ.get("EAQHM_COMBINED_GATHER", "1") != "0"
+
+
 def _fused_solve() -> bool:
     """Solve placement: fused inside each chunk's lax.cond on every backend.
 
@@ -265,15 +272,38 @@ def _eaqhm_bucket(s, fm_current, am_current, centers, wl, dead, mask_k,
 
     M = 2 * (2 * Kc + 1)
     fused = _fused_solve()
+    combined = _combined_gather()
+    if combined:
+        # one row-gather per chunk instead of four: pack (fm, am, s, dead)
+        # into a [L, 2Kc+2] table (concat is ~2 HBM passes of ~17 MB,
+        # negligible; each separate gather launch costs ~0.13-0.2 ms/chunk
+        # on TPU — r5 device trace, tools/out/adapt_trace_r5.json)
+        Dtab = jnp.concatenate(
+            [fm_k, am_k, s[:, None],
+             dead_center.astype(dtype)[:, None]], axis=1)
 
     def do_chunk(args):
         c, wlc, dd, mk = args
 
         def live(_):
             rows = jnp.clip(c[:, None] + o[None, :], 0, L - 1)
-            fm_win, am_win = dead_overlay_windows(fm_k, am_k, rows,
-                                                  dead_center, dd, o, Kc)
-            R, rhs, dinv = eaqhm_gram(s[rows], fm_win, am_win, o,
+            if combined:
+                d = Dtab[rows]                       # [B, N, 2Kc+2]
+                fm_win = d[..., :Kc]
+                am_win = d[..., Kc:2 * Kc]
+                s_win = d[..., 2 * Kc]
+                use = (d[..., 2 * Kc + 1] != 0) & (
+                    (o[None, :] < 0) | ((o[None, :] == 0) & dd[:, None]))
+                k0 = (jnp.arange(Kc) == 0)[None, None, :]
+                fm_win = jnp.where(use[..., None] & k0, DEAD_TRACK_F0,
+                                   fm_win)
+                am_win = jnp.where(use[..., None] & k0, DEAD_TRACK_AM,
+                                   am_win)
+            else:
+                s_win = s[rows]
+                fm_win, am_win = dead_overlay_windows(
+                    fm_k, am_k, rows, dead_center, dd, o, Kc)
+            R, rhs, dinv = eaqhm_gram(s_win, fm_win, am_win, o,
                                       jnp.maximum(wlc, 1), mk, fs,
                                       dtype=dtype)
             if fused:

@@ -102,6 +102,37 @@ class TestMalePreset:
         assert male_result.srer[1] < male_result.srer[0]
 
 
+class TestChildPreset:
+    """Child-preset golden parity: SA19.WAV analyzed with gender='child'
+    (plim [300,600], functions.py:95-109) — the short-window low-K end of
+    the geometry range (octave-up pitch on an adult speaker).  Oracle: f64
+    reference run, 10 adaptations, adaptation 9 declines so adaptation 8's
+    signal (10.450052 dB) is returned."""
+
+    @pytest.fixture(scope="class")
+    def child_golden(self):
+        import os
+        path = os.path.join(os.path.dirname(__file__), "golden",
+                            "sa19_golden_child_slim.npz")
+        if not os.path.exists(path):
+            pytest.skip("run GOLDEN_GENDER=child tools/make_golden.py")
+        return np.load(path)
+
+    @pytest.fixture(scope="class")
+    def child_result(self, sa19):
+        fs, s = sa19
+        return engine.analyze(s, fs, EaqhmConfig(gender="child"))
+
+    def test_srer_trajectory(self, child_result, child_golden):
+        ref = child_golden["srer"]
+        assert len(child_result.srer) == len(ref)
+        np.testing.assert_allclose(child_result.srer, ref, atol=2e-5)
+
+    def test_waveform(self, child_result, child_golden):
+        ref = child_golden["s_recon"].ravel()
+        assert np.abs(child_result.s_recon - ref).max() < 1e-8
+
+
 class TestFullWaveformFalse:
     """fullWaveform=False golden parity (reference functions.py:127-138):
     only voiced runs ± frame_step form the deterministic part."""
