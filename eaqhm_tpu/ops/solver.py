@@ -209,6 +209,47 @@ def default_solve_method(rdtype, M: int | None = None) -> str:
     return "block_inverse"
 
 
+def build_gram_split(E1, w, o, s_win, colmask1):
+    """Windowed normal equations via the basis' block structure
+    (equilibrated): E = [E1, t*E1], so
+
+        R = [[G0, G1], [G1^H, G2]],  Gk = E1^H W^2 t^k E1
+
+    computed as three half-size grams of A = w*E1 and B = (w*t)*E1
+    (G0 = A^H A, G1 = A^H B, G2 = B^H B; G1 is Hermitian since the
+    diagonal weights commute) — 3/4 of the concatenated gram's FLOPs and
+    no materialized [B, N, 2*Kc2] E (the concat alone costs a full
+    write+read of E per chunk).  Identity padding + Jacobi equilibration
+    as in build_gram; returns (R, rhs, dinv) with R exactly Hermitian
+    (lower-left set to G1^H).
+    """
+    hp = _GRAM_PREC
+    A = E1 * w[..., None].astype(E1.dtype)
+    B = A * o[None, :, None].astype(E1.dtype)
+    G0 = jnp.einsum("bnm,bnp->bmp", jnp.conj(A), A, precision=hp)
+    G1 = jnp.einsum("bnm,bnp->bmp", jnp.conj(A), B, precision=hp)
+    G2 = jnp.einsum("bnm,bnp->bmp", jnp.conj(B), B, precision=hp)
+    G1h = jnp.conj(jnp.swapaxes(G1, -1, -2))
+    R = jnp.concatenate(
+        [jnp.concatenate([G0, G1], axis=-1),
+         jnp.concatenate([G1h, G2], axis=-1)], axis=-2)
+    ws = (w * s_win).astype(E1.dtype)
+    rhs = jnp.concatenate(
+        [jnp.einsum("bnm,bn->bm", jnp.conj(A), ws, precision=hp),
+         jnp.einsum("bnm,bn->bm", jnp.conj(B), ws, precision=hp)], axis=-1)
+    colmask = jnp.concatenate([colmask1, colmask1], axis=-1)
+    eye = jnp.eye(R.shape[-1], dtype=R.dtype)
+    R = R + eye * (~colmask[:, None, :])
+    dinv = jax.lax.rsqrt(jnp.maximum(
+        jnp.real(jnp.diagonal(R, axis1=-2, axis2=-1)), 1e-30))
+    R = R * (dinv[:, None, :] * dinv[:, :, None]).astype(R.dtype)
+    rhs = rhs * dinv
+    return R, rhs, dinv
+
+
+_SPLIT_GRAM = os.environ.get("EAQHM_SPLIT_GRAM", "1") != "0"
+
+
 def build_gram(E, w, s_win, colmask):
     """Windowed normal equations, equilibrated: returns (R, rhs, dinv).
 
@@ -373,8 +414,10 @@ def iqhm_gram(s_win, o, wl, f0, K, fs, Kc, dtype=jnp.float64):
                                                     * f0[:, None, None])
     E1 = jnp.exp(1j * phase.astype(dtype)).astype(cdtype)
     E1 = E1 * colmask1[:, None, :]
-    E = jnp.concatenate([E1, o[None, :, None].astype(cdtype) * E1], axis=-1)
     w = blackman_window(o[None, :].astype(dtype), wl[:, None].astype(dtype))
+    if _SPLIT_GRAM:
+        return build_gram_split(E1, w, o, s_win.astype(dtype), colmask1)
+    E = jnp.concatenate([E1, o[None, :, None].astype(cdtype) * E1], axis=-1)
     colmask = jnp.concatenate([colmask1, colmask1], axis=-1)
     return build_gram(E, w, s_win.astype(dtype), colmask)
 
@@ -534,11 +577,12 @@ def eaqhm_gram(s_win, fm_win, am_win, o, wl, colmask_k, fs,
     neg = jnp.flip(neg, axis=2)
     dc = jnp.ones((B, N, 1), cdtype)
     E1 = jnp.concatenate([neg, dc, pos], axis=-1)                # [B,N,Kc2]
-    E = jnp.concatenate([E1, o[None, :, None].astype(cdtype) * E1], axis=-1)
-
     w = hamming_window(o[None, :].astype(dtype), wl[:, None].astype(dtype))
     colmask1 = jnp.concatenate([jnp.flip(colmask_k, axis=-1),
                                 jnp.ones((B, 1), bool), colmask_k], axis=-1)
+    if _SPLIT_GRAM:
+        return build_gram_split(E1, w, o, s_win.astype(dtype), colmask1)
+    E = jnp.concatenate([E1, o[None, :, None].astype(cdtype) * E1], axis=-1)
     colmask = jnp.concatenate([colmask1, colmask1], axis=-1)
     return build_gram(E, w, s_win.astype(dtype), colmask)
 
